@@ -1,0 +1,138 @@
+"""Bilinear regridding (the S operator) as precomputed gather / scatter-add.
+
+The reference performs per-λ bilinear resampling between the global sky grid
+and each pointing's rotated local FOV grid with a Cython binary-search
+interpolator (`surfh/ToolsDir/cythons_files.pyx:20-193`, driver
+`surfh/ToolsDir/cython_2D_interpolation.py`).  Grids are static per model
+instance, so on TPU the whole interpolation collapses to:
+
+* construction time (host, float64): compute the 4 corner indices and weights
+  of every target point once;
+* trace time: a 4-term flattened gather, batched over all λ planes
+  (`cube[:, flat_idx]`), whose linear transpose is automatically the exact
+  4-point scatter-add — no hand-written adjoint needed.
+
+The reference's `interpn_local2cube` "adjoint" is itself a bilinear
+interpolation in the reverse direction (`surfh/ToolsDir/cython_utils.py:33-58`)
+— an *approximate* transpose under rotation.  :func:`bilinear_plan` +
+gather/transpose gives the exact adjoint; the reverse-interp behaviour remains
+available for output-parity checks by building a plan in the other direction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class BilinearPlan:
+    """Static gather plan: 4 corner flat indices + weights for P target points.
+
+    idx:  int32 [4, P] flat indices into the source grid raveled (Na*Nb).
+    w:    float [4, P] corner weights (already zeroed for out-of-bounds points
+          when ``fill_value=0`` semantics were requested).
+    shape: source grid shape (Na, Nb).
+    npoints: P.
+    """
+
+    idx: np.ndarray
+    w: np.ndarray
+    shape: Tuple[int, int]
+
+    @property
+    def npoints(self) -> int:
+        return self.idx.shape[1]
+
+
+def _find_interval(grid: np.ndarray, values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Clamped interval search: i such that grid[i] <= v < grid[i+1].
+
+    Matches `find_interval_ascending(..., extrapolate=1)`
+    (/root/reference/surfh/ToolsDir/cythons_files.pyx:20-103): indices clamp to
+    [0, n-2] so outside values extrapolate linearly.
+    """
+    n = grid.shape[0]
+    i = np.searchsorted(grid, values, side="right") - 1
+    i = np.clip(i, 0, n - 2)
+    t = (values - grid[i]) / (grid[i + 1] - grid[i])
+    return i.astype(np.int64), t
+
+
+def bilinear_plan(
+    alpha_axis: np.ndarray,
+    beta_axis: np.ndarray,
+    points: np.ndarray,
+    fill_out_of_bounds: bool = False,
+) -> BilinearPlan:
+    """Build the static plan interpolating grid values at ``points``.
+
+    Parameters
+    ----------
+    alpha_axis, beta_axis:
+        Ascending source-grid axes (Na,), (Nb,).
+    points:
+        Target coordinates [P, 2] as (alpha, beta) pairs.
+    fill_out_of_bounds:
+        If True, points outside the source grid produce 0 (the
+        ``bounds_error=False, fill_value=0`` mode of the reference's
+        local→cube direction).  If False, outside points linearly extrapolate
+        (the cube→local direction; model construction guarantees in-bounds).
+    """
+    alpha_axis = np.asarray(alpha_axis, np.float64)
+    beta_axis = np.asarray(beta_axis, np.float64)
+    pa = np.asarray(points[:, 0], np.float64)
+    pb = np.asarray(points[:, 1], np.float64)
+
+    ia, ta = _find_interval(alpha_axis, pa)
+    ib, tb = _find_interval(beta_axis, pb)
+
+    nb = beta_axis.shape[0]
+    base = ia * nb + ib
+    idx = np.stack([base, base + 1, base + nb, base + nb + 1])
+    w = np.stack([(1 - ta) * (1 - tb), (1 - ta) * tb, ta * (1 - tb), ta * tb])
+
+    if fill_out_of_bounds:
+        oob = (
+            (pa < alpha_axis[0])
+            | (pa > alpha_axis[-1])
+            | (pb < beta_axis[0])
+            | (pb > beta_axis[-1])
+        )
+        w = np.where(oob[np.newaxis, :], 0.0, w)
+
+    return BilinearPlan(idx.astype(np.int32), w, (alpha_axis.shape[0], nb))
+
+
+def apply_plan(plan_idx, plan_w, cube):
+    """Gather-interpolate every λ plane of ``cube`` at the plan's points.
+
+    cube: [..., Na, Nb] → out [..., P].  Jit-friendly; the transpose of this
+    function (via `jax.linear_transpose`) is the exact scatter-add adjoint.
+    """
+    flat = cube.reshape(cube.shape[:-2] + (-1,))
+    out = jnp.zeros(cube.shape[:-2] + (plan_idx.shape[1],), dtype=cube.dtype)
+    for c in range(4):
+        out = out + plan_w[c] * jnp.take(flat, plan_idx[c], axis=-1)
+    return out
+
+
+def scatter_plan(plan_idx, plan_w, values, grid_shape: Tuple[int, int]):
+    """Explicit exact adjoint of :func:`apply_plan` (4-point scatter-add).
+
+    values: [..., P] → out [..., Na, Nb].
+    """
+    na, nb = grid_shape
+    flat = jnp.zeros(values.shape[:-1] + (na * nb,), dtype=values.dtype)
+    for c in range(4):
+        flat = flat.at[..., plan_idx[c]].add(plan_w[c] * values)
+    return flat.reshape(values.shape[:-1] + (na, nb))
+
+
+def grid_points(alpha_coords: np.ndarray, beta_coords: np.ndarray) -> np.ndarray:
+    """Stack 2-D coordinate fields into an [P, 2] point list (row-major)."""
+    return np.vstack([alpha_coords.ravel(), beta_coords.ravel()]).T

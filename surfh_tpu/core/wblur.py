@@ -1,0 +1,57 @@
+"""Spectral blur (the R operator) as batched MXU contractions.
+
+The reference's hot kernel: out[λ', α, β] = Σ_λ arr[λ, α, β] · wpsf[λ', λ, β]
+with OpenMP Cython / numba / JAX broadcast implementations
+(`surfh/ToolsDir/cythons_files.pyx:202-319`, `surfh/ToolsDir/jax_utils.py:62-101`).
+
+TPU mapping: for fixed β this is a (λ'×λ) @ (λ×α) matmul; the fused
+"blur + β-sum" used on the detector path contracts jointly over (λ, β), i.e. a
+single [λ', λ·β] @ [λ·β, α] matmul per slit — ideal MXU shape.  The α-axis
+subsampling of the detector model commutes with the blur (α is a bystander
+axis), so callers subsample *before* blurring for an srf× saving.
+
+A Pallas banded kernel exploiting the narrow sinc² support lives in
+:mod:`surfh_tpu.core.pallas_wblur` and is used when profitable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def wblur(arr, wpsf):
+    """[λ', α, β] = Σ_λ arr[λ, α, β] · wpsf[λ', λ, β]."""
+    return jnp.einsum("lab,klb->kab", arr, wpsf, preferred_element_type=arr.dtype)
+
+
+@jax.jit
+def wblur_t(arr, wpsf):
+    """Adjoint: [λ, α, β] = Σ_λ' arr[λ', α, β] · wpsf[λ', λ, β]."""
+    return jnp.einsum("kab,klb->lab", arr, wpsf, preferred_element_type=arr.dtype)
+
+
+@jax.jit
+def wblur_sum_beta(arr, wpsf):
+    """Fused blur + β-sum: [λ', α] = Σ_λ Σ_β arr[λ, α, β] · wpsf[λ', λ, β].
+
+    Equivalent to the reference `wblur_subSampling`
+    (/root/reference/surfh/ToolsDir/jax_utils.py:72-80).  Contracted as one
+    matmul over the joint (λ, β) axis.
+    """
+    l, a, b = arr.shape
+    k = wpsf.shape[0]
+    lhs = wpsf.transpose(0, 1, 2).reshape(k, l * b)          # [λ', λ·β]
+    rhs = arr.transpose(0, 2, 1).reshape(l * b, a)           # [λ·β, α]
+    return jnp.matmul(lhs, rhs, preferred_element_type=arr.dtype)
+
+
+@jax.jit
+def wblur_sum_beta_batched(arr, wpsf):
+    """Batched over slits: [s, λ', α] = Σ_λβ arr[s, λ, α, β] · wpsf[λ', λ, β]."""
+    s, l, a, b = arr.shape
+    k = wpsf.shape[0]
+    lhs = wpsf.reshape(k, l * b)
+    rhs = arr.transpose(0, 1, 3, 2).reshape(s, l * b, a)
+    return jnp.einsum("kz,sza->ska", lhs, rhs, preferred_element_type=arr.dtype)

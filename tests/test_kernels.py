@@ -1,0 +1,143 @@
+"""Kernel accuracy tests: JAX/TPU kernels vs plain NumPy references.
+
+Port of the reference's backend-equivalence strategy
+(/root/reference/test/test_accel_accuracy.py): every production kernel is
+cross-checked against an independent NumPy formulation.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surfh_tpu.core import bilinear, fft, lmm, wblur
+
+
+class TestLMM:
+    def test_maps2cube_matches_numpy(self, rng):
+        maps = rng.random((4, 31, 29))
+        tpl = rng.random((4, 57))
+        got = np.asarray(lmm.lmm_maps2cube(maps, tpl))
+        want = np.sum(maps[:, None] * tpl[..., None, None], axis=0)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_cube2maps_is_adjoint(self, rng):
+        maps = rng.random((4, 31, 29))
+        tpl = rng.random((4, 57))
+        cube = rng.random((57, 31, 29))
+        lhs = np.vdot(np.asarray(lmm.lmm_maps2cube(maps, tpl)), cube)
+        rhs = np.vdot(maps, np.asarray(lmm.lmm_cube2maps(cube, tpl)))
+        assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+class TestFFT:
+    def test_unitary_roundtrip(self, rng):
+        x = rng.random((5, 24, 17))
+        y = fft.idft(fft.dft(x), (24, 17))
+        np.testing.assert_allclose(np.asarray(y), x, atol=1e-12)
+
+    def test_dft_is_unitary(self, rng):
+        x = rng.random((24, 18))
+        X = np.asarray(fft.dft(x))
+        # Parseval with rfft Hermitian double-count correction
+        w = np.full(X.shape, 2.0)
+        w[:, 0] = 1
+        if x.shape[-1] % 2 == 0:
+            w[:, -1] = 1
+        np.testing.assert_allclose(np.sum(w * np.abs(X) ** 2), np.sum(x**2), rtol=1e-12)
+
+    def test_ir2fr_convolution_equals_direct_circular(self, rng):
+        im = rng.random((16, 16))
+        ir = rng.random((5, 5))
+        otf = fft.ir2fr(ir, (16, 16))
+        got = np.asarray(fft.convolve_freq(im[None], jnp.asarray(otf), (16, 16)))[0]
+        # direct circular convolution with centered kernel
+        want = np.zeros_like(im)
+        for di in range(-2, 3):
+            for dj in range(-2, 3):
+                want += ir[di + 2, dj + 2] * np.roll(im, (di, dj), axis=(0, 1))
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_half_srf_shift_is_pure_phase(self):
+        otf = fft.half_srf_shift_otf(3, (12, 10), dtype=np.complex128)
+        np.testing.assert_allclose(np.abs(otf), 1.0, atol=1e-12)
+
+
+class TestWblur:
+    def test_wblur_matches_numpy(self, rng):
+        arr = rng.random((40, 9, 7))
+        wpsf = rng.random((23, 40, 7))
+        got = np.asarray(wblur.wblur(arr, wpsf))
+        want = np.sum(arr[None] * wpsf[:, :, None, :], axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_wblur_t_is_adjoint(self, rng):
+        arr = rng.random((40, 9, 7))
+        wpsf = rng.random((23, 40, 7))
+        y = rng.random((23, 9, 7))
+        lhs = np.vdot(np.asarray(wblur.wblur(arr, wpsf)), y)
+        rhs = np.vdot(arr, np.asarray(wblur.wblur_t(y, wpsf)))
+        assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+    def test_sum_beta_matches_expanded(self, rng):
+        arr = rng.random((40, 9, 7))
+        wpsf = rng.random((23, 40, 7))
+        got = np.asarray(wblur.wblur_sum_beta(arr, wpsf))
+        want = np.sum(np.sum(arr[None] * wpsf[:, :, None, :], axis=1), axis=2)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_batched_matches_loop(self, rng):
+        arr = rng.random((5, 40, 9, 7))
+        wpsf = rng.random((23, 40, 7))
+        got = np.asarray(wblur.wblur_sum_beta_batched(arr, wpsf))
+        for s in range(5):
+            np.testing.assert_allclose(
+                got[s], np.asarray(wblur.wblur_sum_beta(arr[s], wpsf)), rtol=1e-10
+            )
+
+
+class TestBilinear:
+    def test_matches_scipy_regular_grid(self, rng):
+        from scipy.interpolate import RegularGridInterpolator
+
+        ax = np.linspace(0, 1, 21)
+        bx = np.linspace(-1, 1, 17)
+        cube = rng.random((6, 21, 17))
+        pts = np.column_stack([rng.uniform(0, 1, 200), rng.uniform(-1, 1, 200)])
+        plan = bilinear.bilinear_plan(ax, bx, pts)
+        got = np.asarray(bilinear.apply_plan(plan.idx, plan.w, cube))
+        itp = RegularGridInterpolator((ax, bx), np.moveaxis(cube, 0, -1))
+        want = np.moveaxis(itp(pts), -1, 0)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_fill_zero_outside(self, rng):
+        ax = np.linspace(0, 1, 11)
+        bx = np.linspace(0, 1, 11)
+        cube = rng.random((2, 11, 11))
+        pts = np.array([[0.5, 0.5], [1.5, 0.5], [-0.1, 0.2], [0.2, 1.01]])
+        plan = bilinear.bilinear_plan(ax, bx, pts, fill_out_of_bounds=True)
+        got = np.asarray(bilinear.apply_plan(plan.idx, plan.w, cube))
+        assert np.all(got[:, 1:] == 0)
+        assert np.all(got[:, 0] != 0)
+
+    def test_scatter_is_exact_adjoint(self, rng):
+        ax = np.linspace(0, 1, 15)
+        bx = np.linspace(0, 2, 12)
+        cube = rng.random((3, 15, 12))
+        pts = np.column_stack([rng.uniform(0, 1, 77), rng.uniform(0, 2, 77)])
+        plan = bilinear.bilinear_plan(ax, bx, pts)
+        y = rng.random((3, 77))
+        fwd = np.asarray(bilinear.apply_plan(plan.idx, plan.w, cube))
+        adj = np.asarray(bilinear.scatter_plan(plan.idx, plan.w, y, plan.shape))
+        lhs = np.vdot(fwd, y)
+        rhs = np.vdot(cube, adj)
+        assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+    def test_extrapolation_outside(self, rng):
+        # extrapolate=1 semantics: linear extrapolation beyond the grid
+        ax = np.arange(5.0)
+        bx = np.arange(4.0)
+        plane = ax[:, None] + 2 * bx[None, :]
+        pts = np.array([[6.0, 1.0], [-1.0, 2.0]])
+        plan = bilinear.bilinear_plan(ax, bx, pts)
+        got = np.asarray(bilinear.apply_plan(plan.idx, plan.w, plane[None]))[0]
+        np.testing.assert_allclose(got, [6 + 2, -1 + 4], rtol=1e-12)

@@ -1,0 +1,379 @@
+"""One MRS band over all its pointings: the SigRLS(C) channel pipeline.
+
+Behavioural reference: `Channel`
+(/root/reference/surfh/Models/spectroModelChannel.py:26-436).  The TPU design
+replaces the reference's per-pointing/per-slit Python-object pipeline with a
+single pure jittable function over static precomputed tables:
+
+* gridding (S): precomputed bilinear gather plan per pointing
+  (construction-time, float64) — 4-term flattened gather at runtime;
+* SRF accumulation (the `otf_sr · decalf` trick): batched unitary rfft2 ×
+  per-frequency transfer function;
+* slicing (L): static strided window gathers, α subsampled *before* the
+  spectral blur (commutes — srf× cheaper);
+* spectral blur + β integration (Sig·R): one batched MXU matmul
+  [λ', λ·β] @ [λ·β, α'] per slit stack.
+
+The exact adjoint is `jax.linear_transpose` of the forward; the reference's
+approximate reverse-interpolation adjoint is kept available (`adjoint_interp`)
+for output-parity studies.
+"""
+
+from __future__ import annotations
+
+from math import ceil
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import bilinear, fft, wblur
+from ..instrument.geometry import Coord, CoordList
+from ..instrument.ifu import IFU
+from .slicer import Slicer
+
+
+class Channel:
+    """Forward model of one IFU band across its dither pointings.
+
+    Parameters mirror the reference Channel: the band `instr`, the global sky
+    axes, the global wavelength axis, the channel's integer SRF, the pointing
+    list and the common super-resolution step (degrees).
+    """
+
+    def __init__(
+        self,
+        instr: IFU,
+        alpha_axis: np.ndarray,
+        beta_axis: np.ndarray,
+        wavel_axis: np.ndarray,
+        srf: int,
+        pointings: CoordList,
+        step_degree: float,
+        dtype=jnp.float32,
+    ):
+        self.alpha_axis = np.asarray(alpha_axis, np.float64)
+        self.beta_axis = np.asarray(beta_axis, np.float64)
+        self.step_degree = float(step_degree)
+        self.global_wavelength_axis = np.asarray(wavel_axis, np.float64)
+        self.srf = int(srf)
+        self.dtype = dtype
+
+        self.instr = instr.pix(self.step_degree)
+        self.pointings = pointings.pix(self.step_degree)
+
+        local_alpha_axis, local_beta_axis = self.instr.fov.local_coords(
+            step_degree, alpha_margin=5 * step_degree, beta_margin=5 * step_degree
+        )
+        self.local_alpha_axis = local_alpha_axis
+        self.local_beta_axis = local_beta_axis
+
+        self.slicer = Slicer(
+            self.instr,
+            wavelength_axis=self.global_wavelength_axis,
+            alpha_axis=self.alpha_axis,
+            beta_axis=self.beta_axis,
+            local_alpha_axis=local_alpha_axis,
+            local_beta_axis=local_beta_axis,
+            srf=self.srf,
+        )
+
+        self.ishape = (
+            len(self.global_wavelength_axis),
+            len(self.alpha_axis),
+            len(self.beta_axis),
+        )
+        self.oshape = (
+            len(self.pointings),
+            self.instr.n_slit,
+            len(self.instr.wavel_axis),
+            ceil(self.slicer.npix_slit_alpha_width / self.srf),
+        )
+        self.local_im_shape = (len(local_alpha_axis), len(local_beta_axis))
+        self.imshape = (len(self.alpha_axis), len(self.beta_axis))
+        self.instr_cube_shape = (
+            self.wslice.stop - self.wslice.start,
+            len(self.alpha_axis),
+            len(self.beta_axis),
+        )
+        self.local_cube_shape = (
+            len(self.global_wavelength_axis),
+            len(local_alpha_axis),
+            len(local_beta_axis),
+        )
+        self.slices_shape = (len(self.pointings), self.instr.n_slit, self.oshape[3])
+
+        # --- static tables ------------------------------------------------
+        # SRF box-sum OTF × half-SRF phase shift, combined once.
+        ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        otf_sr = fft.box_otf_sr(self.srf, self.local_im_shape, np.complex128)
+        decalf = fft.half_srf_shift_otf(self.srf, self.local_im_shape, np.complex128)
+        self._otf_sr = otf_sr
+        self.decalf = decalf
+        self.otf_combined = jnp.asarray(otf_sr * decalf, ctype)
+        self.otf_combined_conj = jnp.asarray((otf_sr * decalf).conj(), ctype)
+
+        # Spectral PSF over the channel's λ window.
+        self.wpsf = self._build_wpsf("mrs")
+        self.wpsf_dirac = self._build_wpsf("dirac")
+        self._wpsf_dev = jnp.asarray(self.wpsf, dtype)
+
+        # Per-pointing bilinear gather plans (cube grid → rotated local grid)
+        # and the reverse plans (local grid → cube grid) for the
+        # reference-parity adjoint and data re-projection utilities.
+        self.plans_fwd: List[bilinear.BilinearPlan] = []
+        self.plans_rev: List[bilinear.BilinearPlan] = []
+        for pointing in self.pointings:
+            fov = self.instr.fov + pointing
+            ga, gb = fov.local2global(self.local_alpha_axis, self.local_beta_axis)
+            self.plans_fwd.append(
+                bilinear.bilinear_plan(
+                    self.alpha_axis, self.beta_axis, bilinear.grid_points(ga, gb)
+                )
+            )
+            la, lb = fov.global2local(self.alpha_axis, self.beta_axis)
+            self.plans_rev.append(
+                bilinear.bilinear_plan(
+                    self.local_alpha_axis,
+                    self.local_beta_axis,
+                    bilinear.grid_points(la, lb),
+                    fill_out_of_bounds=True,
+                )
+            )
+        self._plans_fwd_dev = [
+            (jnp.asarray(p.idx), jnp.asarray(p.w, dtype)) for p in self.plans_fwd
+        ]
+        self._plans_rev_dev = [
+            (jnp.asarray(p.idx), jnp.asarray(p.w, dtype)) for p in self.plans_rev
+        ]
+
+        # Slit window tables, α pre-subsampled by the SRF.
+        a_starts, b_starts, weights = self.slicer.slit_tables()
+        self.slit_a_starts = a_starts
+        self.slit_b_starts = b_starts
+        n_aout = self.oshape[3]
+        self.slit_weights_sub = jnp.asarray(
+            weights[:, : n_aout * self.srf : self.srf, :], dtype
+        )
+        self.slit_shape = self.slicer.get_slit_shape()
+
+        self._forward_jit = jax.jit(self._forward_fn)
+        self._adjoint_jit = None
+        self._adjoint_interp_jit = None
+
+    # ------------------------------------------------------------------
+    @property
+    def wslice(self) -> slice:
+        """λ window of the global axis covered by this channel (0.1 μm margin)."""
+        return self.instr.wslice(self.global_wavelength_axis, 0.1)
+
+    @property
+    def beta_step(self) -> float:
+        return self.beta_axis[1] - self.beta_axis[0]
+
+    @property
+    def n_wslice(self) -> int:
+        return self.wslice.stop - self.wslice.start
+
+    def _build_wpsf(self, kind: str) -> np.ndarray:
+        """wpsf [λ_det, λ_window, β_slit] (reference spectroModelChannel.py:133-155)."""
+        length = self.slicer.npix_slit_beta_width
+        beta_in_slit = np.arange(0, length) * self.beta_step
+        return self.instr.spectral_psf(
+            beta_in_slit - np.mean(beta_in_slit),
+            self.global_wavelength_axis[self.wslice],
+            arcsec2micron=self.instr.wavel_step / self.instr.det_pix_size,
+            type=kind,
+        )
+
+    # ------------------------------------------------------------------
+    # pure forward pipeline (works on the windowed cube [W, Na, Nb])
+    def _forward_windowed(self, xw, wpsf):
+        n_aout = self.oshape[3]
+        srf = self.srf
+        nla, nlb = self.local_im_shape
+        sa, sb = self.slit_shape[1], self.slit_shape[2]
+        per_pointing = []
+        for idx, w in self._plans_fwd_dev:
+            gridded = bilinear.apply_plan(idx, w, xw).reshape(xw.shape[0], nla, nlb)
+            summed = fft.idft(fft.dft(gridded) * self.otf_combined, (nla, nlb))
+            windows = jnp.stack(
+                [
+                    summed[
+                        :,
+                        a0 : a0 + n_aout * srf : srf,
+                        b0 : b0 + sb,
+                    ]
+                    for a0, b0 in zip(self.slit_a_starts, self.slit_b_starts)
+                ]
+            )
+            windows = windows * self.slit_weights_sub[:, jnp.newaxis, :, :]
+            per_pointing.append(wblur.wblur_sum_beta_batched(windows, wpsf))
+        return jnp.stack(per_pointing)
+
+    def _forward_fn(self, cube):
+        """cube [L, Na, Nb] → detector blocks [P, S, λ_det, α_out]."""
+        xw = jax.lax.slice_in_dim(cube, self.wslice.start, self.wslice.stop, axis=0)
+        return self._forward_windowed(xw, self._wpsf_dev)
+
+    # ------------------------------------------------------------------
+    def forward(self, cube):
+        """Apply the channel forward model; returns [P, S, λ_det, α_out]."""
+        return self._forward_jit(jnp.asarray(cube, self.dtype))
+
+    def adjoint(self, y):
+        """Exact transpose of :meth:`forward`: [P, S, λ_det, α_out] → cube."""
+        if self._adjoint_jit is None:
+            primal = jax.ShapeDtypeStruct(self.ishape, self.dtype)
+            transpose = jax.linear_transpose(self._forward_fn, primal)
+            self._adjoint_jit = jax.jit(lambda y: transpose(y)[0])
+        return self._adjoint_jit(jnp.asarray(y, self.dtype).reshape(self.oshape))
+
+    def adjoint_windowed(self, y):
+        """Exact transpose restricted to the λ window: → [W, Na, Nb]."""
+        primal = jax.ShapeDtypeStruct(
+            (self.n_wslice,) + self.ishape[1:], self.dtype
+        )
+        transpose = jax.linear_transpose(
+            lambda xw: self._forward_windowed(xw, self._wpsf_dev), primal
+        )
+        return transpose(jnp.asarray(y, self.dtype).reshape(self.oshape))[0]
+
+    # ------------------------------------------------------------------
+    # reference-parity adjoint (approximate reverse-interp gridding_t)
+    def _adjoint_interp_fn(self, y):
+        """Reverse of the reference adjoint semantics
+        (spectroModelChannel.py:234-264): β-repeat, wblur_t, slit scatter,
+        conj OTF, reverse bilinear interpolation onto the global grid."""
+        n_aout = self.oshape[3]
+        srf = self.srf
+        nla, nlb = self.local_im_shape
+        W = self.n_wslice
+        sa, sb = self.slit_shape[1], self.slit_shape[2]
+        wpsf_c = self._wpsf_dev  # real wpsf: conj == identity
+        out = jnp.zeros((W,) + self.imshape, self.dtype)
+        for p_idx, (idx, w) in enumerate(self._plans_rev_dev):
+            local_cube = jnp.zeros((W, nla, nlb), self.dtype)
+            for s in range(self.instr.n_slit):
+                # y[p, s] : [λ_det, α_out] → repeat over β → wblur_t → [W, α_out, β]
+                over = jnp.repeat(y[p_idx, s][:, :, jnp.newaxis], sb, axis=2)
+                blurred_t = wblur.wblur_t(over, wpsf_c)
+                # α upsample: place rows at strided positions
+                full = jnp.zeros((W, sa, sb), self.dtype)
+                full = full.at[:, : n_aout * srf : srf, :].set(blurred_t)
+                a0 = int(self.slit_a_starts[s])
+                b0 = int(self.slit_b_starts[s])
+                weights = self.slit_weights_sub[s]  # β-only weights, α-invariant
+                wfull = jnp.zeros((sa, sb), self.dtype)
+                wfull = wfull.at[: n_aout * srf : srf, :].set(weights)
+                # reference applies the *full* α-resolution weights; they are
+                # α-invariant so broadcast the first subsampled row
+                wrow = self.slit_weights_sub[s][0][jnp.newaxis, :]
+                local_cube = local_cube.at[:, a0 : a0 + sa, b0 : b0 + sb].add(
+                    full * wrow[jnp.newaxis, :, :]
+                )
+            sum_t = fft.idft(fft.dft(local_cube) * self.otf_combined_conj, (nla, nlb))
+            degridded = bilinear.apply_plan(idx, w, sum_t).reshape(
+                W, self.imshape[0], self.imshape[1]
+            )
+            out = out + degridded
+        return out
+
+    def adjoint_interp(self, y):
+        """Reference-parity (approximate) adjoint; returns the λ-window cube."""
+        if self._adjoint_interp_jit is None:
+            self._adjoint_interp_jit = jax.jit(self._adjoint_interp_fn)
+        return self._adjoint_interp_jit(jnp.asarray(y, self.dtype).reshape(self.oshape))
+
+    # ------------------------------------------------------------------
+    # data ↔ cube utilities (dirac-wpsf re-projection; reference :266-336)
+    def sliceToCube(self, data):
+        """Re-project detector data of pointing 0 into a full-axis cube using
+        the dirac spectral response (visualization / initialization aid)."""
+        y = np.asarray(data).reshape(self.oshape)
+        n_aout = self.oshape[3]
+        srf = self.srf
+        nla, nlb = self.local_im_shape
+        W = self.n_wslice
+        sa, sb = self.slit_shape[1], self.slit_shape[2]
+        wpsf = self.wpsf_dirac
+        local_cube = np.zeros((W, nla, nlb))
+        for s in range(self.instr.n_slit):
+            over = np.repeat(y[0, s][:, :, np.newaxis], sb, axis=2)
+            blurred_t = np.einsum("kab,klb->lab", over, wpsf)
+            full = np.zeros((W, sa, sb))
+            full[:, : n_aout * srf : srf, :] = blurred_t
+            local_cube += self.slicer.slicing_t(full, s, (W, nla, nlb))
+        sum_t = np.fft.irfftn(
+            np.fft.rfftn(local_cube, axes=(-2, -1), norm="ortho")
+            * (self._otf_sr.conj() * self.decalf.conj()),
+            s=(nla, nlb),
+            axes=(-2, -1),
+            norm="ortho",
+        )
+        plan = self.plans_rev[0]
+        degridded = np.asarray(
+            bilinear.apply_plan(
+                jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(sum_t)
+            )
+        ).reshape(W, self.imshape[0], self.imshape[1])
+        out = np.zeros((len(self.global_wavelength_axis),) + self.imshape)
+        out[self.wslice] += degridded
+        return out
+
+    def realData_cubeToSlice(self, cube):
+        """Project a λ-window cube to detector slices without spectral blur
+        (β-sum only; reference :303-309)."""
+        cube = np.asarray(cube)
+        n_aout = self.oshape[3]
+        plan = self.plans_fwd[0]
+        # Coord(0,0) pointing: re-plan the ungathered FOV
+        fov = self.instr.fov + Coord(0, 0)
+        ga, gb = fov.local2global(self.local_alpha_axis, self.local_beta_axis)
+        plan0 = bilinear.bilinear_plan(
+            self.alpha_axis, self.beta_axis, bilinear.grid_points(ga, gb)
+        )
+        gridded = np.asarray(
+            bilinear.apply_plan(jnp.asarray(plan0.idx), jnp.asarray(plan0.w), jnp.asarray(cube))
+        ).reshape(cube.shape[0], *self.local_im_shape)
+        slices = np.zeros(self.oshape[1:])
+        for s in range(self.instr.n_slit):
+            sliced = self.slicer.slicing(gridded, s)[:, : n_aout * self.srf : self.srf, :]
+            slices[s] = sliced.sum(axis=2)
+        return slices
+
+    def realData_sliceToCube(self, slices, cube_dim):
+        """β-duplicate detector slices back to a cube (reference :311-336)."""
+        slices = np.asarray(slices)
+        nla, nlb = self.local_im_shape
+        W = cube_dim[0]
+        gridded = np.zeros((W, nla, nlb))
+        for s in range(self.instr.n_slit):
+            sl = self.slicer.get_slit_slices(s)
+            sa = sl[0].stop - sl[0].start
+            sb = sl[1].stop - sl[1].start
+            tmp = (
+                np.repeat(slices[s][:, :, np.newaxis], self.slicer.npix_slit_beta_width, axis=2)
+                / self.slicer.npix_slit_beta_width
+            )
+            sliced = np.zeros((W, sa, sb))
+            sliced[:, : W * self.srf : self.srf] = tmp[:, : sliced[:, :: self.srf].shape[1]]
+            gridded += self.slicer.slicing_t(sliced, s, (W, nla, nlb))
+        sum_t = np.fft.irfftn(
+            np.fft.rfftn(gridded, axes=(-2, -1), norm="ortho") * self._otf_sr.conj(),
+            s=(nla, nlb),
+            axes=(-2, -1),
+            norm="ortho",
+        )
+        fov = self.instr.fov + Coord(0, 0)
+        la, lb = fov.global2local(self.alpha_axis, self.beta_axis)
+        plan0 = bilinear.bilinear_plan(
+            self.local_alpha_axis,
+            self.local_beta_axis,
+            bilinear.grid_points(la, lb),
+            fill_out_of_bounds=True,
+        )
+        return np.asarray(
+            bilinear.apply_plan(jnp.asarray(plan0.idx), jnp.asarray(plan0.w), jnp.asarray(sum_t))
+        ).reshape(W, *self.imshape)

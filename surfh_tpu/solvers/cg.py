@@ -1,0 +1,169 @@
+"""On-device quadratic solvers: linear conjugate gradient and MM memory gradient.
+
+Self-contained replacement for the slivers of the `qmm` package the reference
+drives (`qmm.lcg` / `qmm.mmmg`, called from
+/root/reference/surfh/Simulation/fusion_CT.py:194-232).  The whole solver
+state lives in HBM; one jitted `lax.while_loop` per solve — no host↔device
+round-trips inside the iteration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class SolverResult:
+    """Mirror of the qmm OptimizeResult fields the reference consumes."""
+
+    x: np.ndarray
+    grad_norm: np.ndarray  # per-iteration gradient norms
+    n_iter: int
+    converged: bool
+    crit_val: Optional[np.ndarray] = None  # per-iteration criterion (optional)
+
+
+def _as_tuple(x):
+    return x if isinstance(x, (tuple, list)) else (x,)
+
+
+def lcg(
+    normal_op: Callable,
+    b,
+    x0,
+    max_iter: int = 100,
+    tol: float = 1e-12,
+    precond: Optional[Callable] = None,
+    callback: Optional[Callable] = None,
+) -> SolverResult:
+    """Linear CG for Q x = b with Q = `normal_op` (SPD).
+
+    `tol` matches the qmm convention: stop when ‖∇J‖ = ‖Qx − b‖ ≤ tol·‖b‖.
+    The loop runs entirely under jit; per-iteration gradient norms are
+    accumulated on device and returned for telemetry.
+    """
+    x0 = jnp.asarray(x0)
+    b = jnp.asarray(b, x0.dtype)
+
+    M = precond if precond is not None else (lambda r: r)
+
+    @jax.jit
+    def run(x0, b):
+        r0 = b - normal_op(x0)
+        z0 = M(r0)
+        p0 = z0
+        rz0 = jnp.vdot(r0, z0).real
+        gnorm0 = jnp.linalg.norm(r0.ravel())
+        bnorm = jnp.linalg.norm(b.ravel())
+        norms = jnp.zeros((max_iter,), x0.dtype)
+
+        def cond(state):
+            x, r, z, p, rz, it, norms = state
+            return jnp.logical_and(it < max_iter, jnp.linalg.norm(r.ravel()) > tol * bnorm)
+
+        def body(state):
+            x, r, z, p, rz, it, norms = state
+            qp = normal_op(p)
+            alpha = rz / jnp.vdot(p, qp).real
+            x = x + alpha * p
+            r = r - alpha * qp
+            z = M(r)
+            rz_new = jnp.vdot(r, z).real
+            beta = rz_new / rz
+            p = z + beta * p
+            norms = norms.at[it].set(jnp.linalg.norm(r.ravel()))
+            return x, r, z, p, rz_new, it + 1, norms
+
+        state = (x0, r0, z0, p0, rz0, jnp.asarray(0), norms)
+        x, r, z, p, rz, it, norms = jax.lax.while_loop(cond, body, state)
+        return x, norms, it, gnorm0
+
+    x, norms, it, gnorm0 = run(x0, b)
+    it = int(it)
+    norms = np.asarray(norms)[:it]
+    res = SolverResult(
+        x=np.asarray(x),
+        grad_norm=np.concatenate([[float(gnorm0)], norms]),
+        n_iter=it,
+        converged=bool(it < max_iter),
+    )
+    if callback is not None:
+        callback(res)
+    return res
+
+
+def mmmg(
+    normal_op: Callable,
+    b,
+    x0,
+    max_iter: int = 100,
+    tol: float = 1e-12,
+    callback: Optional[Callable] = None,
+) -> SolverResult:
+    """MM memory-gradient for the quadratic J(x) = ½xᵀQx − bᵀx.
+
+    Each step minimizes J exactly over span{−∇J, x − x_prev} (a 2×2 linear
+    solve) — the quadratic specialization of `qmm.mmmg`.
+    """
+    x0 = jnp.asarray(x0)
+    b = jnp.asarray(b, x0.dtype)
+
+    @jax.jit
+    def run(x0, b):
+        g0 = normal_op(x0) - b
+        bnorm = jnp.linalg.norm(b.ravel())
+        norms = jnp.zeros((max_iter,), x0.dtype)
+
+        def cond(state):
+            x, g, d_prev, it, norms = state
+            return jnp.logical_and(it < max_iter, jnp.linalg.norm(g.ravel()) > tol * bnorm)
+
+        def body(state):
+            x, g, d_prev, it, norms = state
+            d0 = -g
+            q0 = normal_op(d0)
+            q1 = normal_op(d_prev)
+            # minimize J(x + a·d0 + c·d_prev): solve the 2×2 Gram system
+            a00 = jnp.vdot(d0, q0).real
+            a01 = jnp.vdot(d0, q1).real
+            a11 = jnp.vdot(d_prev, q1).real
+            g0d = jnp.vdot(g, d0).real
+            g1d = jnp.vdot(g, d_prev).real
+            det = a00 * a11 - a01 * a01
+            safe = jnp.abs(det) > 1e-30
+            a = jnp.where(safe, (-g0d * a11 + g1d * a01) / jnp.where(safe, det, 1.0), -g0d / a00)
+            c = jnp.where(safe, (g0d * a01 - g1d * a00) / jnp.where(safe, det, 1.0), 0.0)
+            step = a * d0 + c * d_prev
+            x = x + step
+            g = g + a * q0 + c * q1
+            norms = norms.at[it].set(jnp.linalg.norm(g.ravel()))
+            return x, g, step, it + 1, norms
+
+        # first iteration: steepest descent (no memory direction yet)
+        q0 = normal_op(-g0)
+        alpha = jnp.vdot(g0, g0).real / jnp.vdot(-g0, q0).real
+        x1 = x0 - alpha * (-(-g0))
+        x1 = x0 + alpha * (-g0)
+        g1 = g0 + alpha * q0
+        norms = norms.at[0].set(jnp.linalg.norm(g1.ravel()))
+        state = (x1, g1, alpha * (-g0), jnp.asarray(1), norms)
+        x, g, d, it, norms = jax.lax.while_loop(cond, body, state)
+        return x, norms, it, jnp.linalg.norm(g0.ravel())
+
+    x, norms, it, gnorm0 = run(x0, b)
+    it = int(it)
+    res = SolverResult(
+        x=np.asarray(x),
+        grad_norm=np.concatenate([[float(gnorm0)], np.asarray(norms)[:it]]),
+        n_iter=it,
+        converged=bool(it < max_iter),
+    )
+    if callback is not None:
+        callback(res)
+    return res

@@ -43,8 +43,10 @@ def main():
     model, setup = make_model(dtype=jnp.float32, **cfg)
     maps = jnp.asarray(setup["maps"], jnp.float32)
 
+    from surfh_tpu.core.linop import build_transpose
+
     primal = jax.ShapeDtypeStruct(model.ishape, jnp.float32)
-    transpose = jax.linear_transpose(model._forward_fn, primal)
+    transpose = build_transpose(model._forward_fn, primal)
 
     @jax.jit
     def fwd_adj(x):

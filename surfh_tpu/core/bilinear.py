@@ -116,7 +116,7 @@ def apply_plan(plan_idx, plan_w, cube):
     """
     flat = cube.reshape(cube.shape[:-2] + (-1,))
     out = jnp.zeros(cube.shape[:-2] + (plan_idx.shape[1],), dtype=cube.dtype)
-    for c in range(4):
+    for c in range(plan_idx.shape[0]):
         out = out + plan_w[c] * jnp.take(flat, plan_idx[c], axis=-1)
     return out
 
@@ -128,7 +128,7 @@ def scatter_plan(plan_idx, plan_w, values, grid_shape: Tuple[int, int]):
     """
     na, nb = grid_shape
     flat = jnp.zeros(values.shape[:-1] + (na * nb,), dtype=values.dtype)
-    for c in range(4):
+    for c in range(plan_idx.shape[0]):
         flat = flat.at[..., plan_idx[c]].add(plan_w[c] * values)
     return flat.reshape(values.shape[:-1] + (na, nb))
 

@@ -19,6 +19,24 @@ import numpy as np
 Shape = Tuple[int, ...]
 
 
+def build_transpose(fwd: Callable, primal) -> Callable:
+    """`jax.linear_transpose` with trace-time constants pinned to host/CPU.
+
+    During linear_transpose's trace of `fwd`, rank-promoting broadcasts of
+    NumPy constants execute *eagerly* on the default device; some TPU
+    runtimes cannot fetch those device constants back for lowering
+    (UNIMPLEMENTED device→host transfer).  Building the transpose under the
+    CPU default device keeps every trace-time constant host-resident so jit
+    can embed it directly.
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return jax.linear_transpose(fwd, primal)
+    with jax.default_device(cpu):
+        return jax.linear_transpose(fwd, primal)
+
+
 class LinOp:
     """A linear operator with explicit input/output shapes.
 
@@ -49,7 +67,7 @@ class LinOp:
         if self._transpose_fn is None:
             fwd = lambda x: self.forward(x)
             primal = jax.ShapeDtypeStruct(self.ishape, self.dtype)
-            transpose = jax.linear_transpose(fwd, primal)
+            transpose = build_transpose(fwd, primal)
 
             def _adj(y):
                 (x,) = transpose(jnp.asarray(y, self.dtype).reshape(self.oshape))

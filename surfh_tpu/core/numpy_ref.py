@@ -84,7 +84,7 @@ def apply_plan(plan, cube):
     """NumPy twin of `core.bilinear.apply_plan`: 4-corner gather."""
     flat = cube.reshape(cube.shape[:-2] + (-1,))
     out = np.zeros(cube.shape[:-2] + (plan.npoints,), cube.dtype)
-    for c in range(4):
+    for c in range(plan.idx.shape[0]):
         out += plan.w[c] * flat[..., plan.idx[c]]
     return out
 
@@ -93,7 +93,7 @@ def scatter_plan(plan, values, grid_shape):
     """Exact adjoint of :func:`apply_plan` (4-point scatter-add)."""
     na, nb = grid_shape
     flat = np.zeros(values.shape[:-1] + (na * nb,), values.dtype)
-    for c in range(4):
+    for c in range(plan.idx.shape[0]):
         np.add.at(flat, (..., plan.idx[c]), plan.w[c] * values)
     return flat.reshape(values.shape[:-1] + (na, nb))
 

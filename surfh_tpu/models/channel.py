@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import bilinear, fft, wblur
+from ..core import bilinear, fft, linop, numpy_ref, wblur
 from ..instrument.geometry import Coord, CoordList
 from ..instrument.ifu import IFU
 from .slicer import Slicer
@@ -52,6 +52,7 @@ class Channel:
         pointings: CoordList,
         step_degree: float,
         dtype=jnp.float32,
+        gridding: str = "bilinear",
     ):
         self.alpha_axis = np.asarray(alpha_axis, np.float64)
         self.beta_axis = np.asarray(beta_axis, np.float64)
@@ -105,36 +106,48 @@ class Channel:
         self.slices_shape = (len(self.pointings), self.instr.n_slit, self.oshape[3])
 
         # --- static tables ------------------------------------------------
+        # All construction-time constants are kept as *host* NumPy arrays:
+        # jit embeds them directly, avoiding device→host constant fetches
+        # (unimplemented for non-f32 dtypes on some TPU runtimes).
+        npdtype = np.float32 if dtype == jnp.float32 else np.float64
+        npctype = np.complex64 if dtype == jnp.float32 else np.complex128
+        self._npdtype = npdtype
         # SRF box-sum OTF × half-SRF phase shift, combined once.
-        ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
         otf_sr = fft.box_otf_sr(self.srf, self.local_im_shape, np.complex128)
         decalf = fft.half_srf_shift_otf(self.srf, self.local_im_shape, np.complex128)
         self._otf_sr = otf_sr
         self.decalf = decalf
-        self.otf_combined = jnp.asarray(otf_sr * decalf, ctype)
-        self.otf_combined_conj = jnp.asarray((otf_sr * decalf).conj(), ctype)
+        self.otf_combined = np.asarray(otf_sr * decalf, npctype)
+        self.otf_combined_conj = np.asarray((otf_sr * decalf).conj(), npctype)
 
         # Spectral PSF over the channel's λ window.
         self.wpsf = self._build_wpsf("mrs")
         self.wpsf_dirac = self._build_wpsf("dirac")
-        self._wpsf_dev = jnp.asarray(self.wpsf, dtype)
+        self._wpsf_dev = np.asarray(self.wpsf, npdtype)
 
         # Per-pointing bilinear gather plans (cube grid → rotated local grid)
         # and the reverse plans (local grid → cube grid) for the
         # reference-parity adjoint and data re-projection utilities.
+        if gridding not in ("bilinear", "nn"):
+            raise ValueError(f"unknown gridding mode {gridding!r}")
+        self.gridding = gridding
+        if gridding == "nn":
+            from ..core.nearest import nearest_plan
+
+            _plan = lambda aa, bb, pts, **kw: nearest_plan(aa, bb, pts, **kw)
+        else:
+            _plan = bilinear.bilinear_plan
         self.plans_fwd: List[bilinear.BilinearPlan] = []
         self.plans_rev: List[bilinear.BilinearPlan] = []
         for pointing in self.pointings:
             fov = self.instr.fov + pointing
             ga, gb = fov.local2global(self.local_alpha_axis, self.local_beta_axis)
             self.plans_fwd.append(
-                bilinear.bilinear_plan(
-                    self.alpha_axis, self.beta_axis, bilinear.grid_points(ga, gb)
-                )
+                _plan(self.alpha_axis, self.beta_axis, bilinear.grid_points(ga, gb))
             )
             la, lb = fov.global2local(self.alpha_axis, self.beta_axis)
             self.plans_rev.append(
-                bilinear.bilinear_plan(
+                _plan(
                     self.local_alpha_axis,
                     self.local_beta_axis,
                     bilinear.grid_points(la, lb),
@@ -142,10 +155,10 @@ class Channel:
                 )
             )
         self._plans_fwd_dev = [
-            (jnp.asarray(p.idx), jnp.asarray(p.w, dtype)) for p in self.plans_fwd
+            (np.asarray(p.idx), np.asarray(p.w, npdtype)) for p in self.plans_fwd
         ]
         self._plans_rev_dev = [
-            (jnp.asarray(p.idx), jnp.asarray(p.w, dtype)) for p in self.plans_rev
+            (np.asarray(p.idx), np.asarray(p.w, npdtype)) for p in self.plans_rev
         ]
 
         # Slit window tables, α pre-subsampled by the SRF.
@@ -153,8 +166,8 @@ class Channel:
         self.slit_a_starts = a_starts
         self.slit_b_starts = b_starts
         n_aout = self.oshape[3]
-        self.slit_weights_sub = jnp.asarray(
-            weights[:, : n_aout * self.srf : self.srf, :], dtype
+        self.slit_weights_sub = np.asarray(
+            weights[:, : n_aout * self.srf : self.srf, :], npdtype
         )
         self.slit_shape = self.slicer.get_slit_shape()
 
@@ -226,7 +239,7 @@ class Channel:
         """Exact transpose of :meth:`forward`: [P, S, λ_det, α_out] → cube."""
         if self._adjoint_jit is None:
             primal = jax.ShapeDtypeStruct(self.ishape, self.dtype)
-            transpose = jax.linear_transpose(self._forward_fn, primal)
+            transpose = linop.build_transpose(self._forward_fn, primal)
             self._adjoint_jit = jax.jit(lambda y: transpose(y)[0])
         return self._adjoint_jit(jnp.asarray(y, self.dtype).reshape(self.oshape))
 
@@ -235,7 +248,7 @@ class Channel:
         primal = jax.ShapeDtypeStruct(
             (self.n_wslice,) + self.ishape[1:], self.dtype
         )
-        transpose = jax.linear_transpose(
+        transpose = linop.build_transpose(
             lambda xw: self._forward_windowed(xw, self._wpsf_dev), primal
         )
         return transpose(jnp.asarray(y, self.dtype).reshape(self.oshape))[0]
@@ -313,11 +326,9 @@ class Channel:
             norm="ortho",
         )
         plan = self.plans_rev[0]
-        degridded = np.asarray(
-            bilinear.apply_plan(
-                jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(sum_t)
-            )
-        ).reshape(W, self.imshape[0], self.imshape[1])
+        degridded = numpy_ref.apply_plan(plan, sum_t).reshape(
+            W, self.imshape[0], self.imshape[1]
+        )
         out = np.zeros((len(self.global_wavelength_axis),) + self.imshape)
         out[self.wslice] += degridded
         return out
@@ -334,9 +345,9 @@ class Channel:
         plan0 = bilinear.bilinear_plan(
             self.alpha_axis, self.beta_axis, bilinear.grid_points(ga, gb)
         )
-        gridded = np.asarray(
-            bilinear.apply_plan(jnp.asarray(plan0.idx), jnp.asarray(plan0.w), jnp.asarray(cube))
-        ).reshape(cube.shape[0], *self.local_im_shape)
+        gridded = numpy_ref.apply_plan(plan0, cube).reshape(
+            cube.shape[0], *self.local_im_shape
+        )
         slices = np.zeros(self.oshape[1:])
         for s in range(self.instr.n_slit):
             sliced = self.slicer.slicing(gridded, s)[:, : n_aout * self.srf : self.srf, :]
@@ -374,6 +385,4 @@ class Channel:
             bilinear.grid_points(la, lb),
             fill_out_of_bounds=True,
         )
-        return np.asarray(
-            bilinear.apply_plan(jnp.asarray(plan0.idx), jnp.asarray(plan0.w), jnp.asarray(sum_t))
-        ).reshape(W, *self.imshape)
+        return numpy_ref.apply_plan(plan0, sum_t).reshape(W, *self.imshape)

@@ -61,6 +61,7 @@ class SpectroSigRLSCT(LinOp):
         step_degree: float,
         pointings,
         dtype=jnp.float32,
+        gridding: str = "bilinear",
     ):
         self.sotf = np.asarray(sotf)
         self.alpha_axis = np.asarray(alpha_axis, np.float64)
@@ -94,6 +95,7 @@ class SpectroSigRLSCT(LinOp):
                 CoordList(pointings[it]),
                 step_degree,
                 dtype=dtype,
+                gridding=gridding,
             )
             for it, (srf, instr) in enumerate(zip(self.srfs, instrs))
         ]
@@ -117,10 +119,12 @@ class SpectroSigRLSCT(LinOp):
 
         super().__init__(ishape=ishape, oshape=oshape, dtype=dtype)
 
-        ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
-        self._sotf_dev = jnp.asarray(self.sotf, ctype)
+        # host-side constants (jit embeds them; avoids D2H constant fetches)
+        npctype = np.complex64 if dtype == jnp.float32 else np.complex128
+        npdtype = np.float32 if dtype == jnp.float32 else np.float64
+        self._sotf_dev = np.asarray(self.sotf, npctype)
         self._templates_dev = (
-            jnp.asarray(self.templates, dtype) if self.lmm else None
+            np.asarray(self.templates, npdtype) if self.lmm else None
         )
         self._forward_jit = jax.jit(self._forward_fn)
         self._fwadj_jit = None

@@ -32,6 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import fft, lmm
+from ..core import linop as linop_mod
 from ..solvers import cg as cg_mod
 from ..solvers.criterion import dtd_separated
 
@@ -91,11 +92,12 @@ class ShardedSpectro:
         model = self.model
         chan = model.channels[c]
         wsl = chan.wslice
-        ctype = jnp.complex64 if model.dtype == jnp.float32 else jnp.complex128
-        sotf_w = jnp.asarray(model.sotf[wsl], ctype)
+        npctype = np.complex64 if model.dtype == jnp.float32 else np.complex128
+        npdtype = np.float32 if model.dtype == jnp.float32 else np.float64
+        sotf_w = np.asarray(model.sotf[wsl], npctype)
         imshape = model.imshape
         if model.lmm:
-            tpl_w = jnp.asarray(model.templates[:, wsl], model.dtype)
+            tpl_w = np.asarray(model.templates[:, wsl], npdtype)
 
             def fwd(x):
                 cube_w = lmm.lmm_maps2cube(x, tpl_w)
@@ -113,7 +115,7 @@ class ShardedSpectro:
 
     def _make_channel_adj(self, c: int) -> Callable:
         primal = jax.ShapeDtypeStruct(self.model.ishape, self.model.dtype)
-        transpose = jax.linear_transpose(self._fwd_fns[c], primal)
+        transpose = linop_mod.build_transpose(self._fwd_fns[c], primal)
         return lambda y: transpose(y)[0]
 
     # ------------------------------------------------------------------

@@ -1,0 +1,271 @@
+"""Dot tests for the full single-stage operator ladder.
+
+Port of the reference suite /root/reference/test/test_fw_ad.py — every
+operator variant must satisfy ⟨Hx, y⟩ = ⟨x, Hᵗy⟩.  Unlike the reference
+(which only *prints* the result for the deepest models, test_fw_ad.py:608,
+754, 928, 1022), every test here asserts.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surfh_tpu.core.linop import dottest
+from surfh_tpu.models import family
+from surfh_tpu.simulation.synthetic import make_setup
+
+RTOL = 1e-10  # float64 on CPU: transposes are exact to rounding
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return make_setup(im_size=41, n_lambda=30, n_tpl=3, n_channels=2, n_pointings=2, n_slit=3)
+
+
+def _ifu(fx):
+    return fx["instrs"][0]
+
+
+def test_T_dottest(fx):
+    op = family.SpectroT(fx["maps"], fx["templates"], fx["wavelength_axis"], dtype=jnp.float64)
+    assert dottest(op, rtol=RTOL)
+
+
+def test_C_dottest(fx):
+    op = family.SpectroC(
+        fx["sotf"], fx["maps"], fx["templates"], fx["wavelength_axis"], dtype=jnp.float64
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_CT_dottest(fx):
+    op = family.SpectroCT(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_ST_dottest(fx):
+    op = family.SpectroST(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_ST_NN_dottest(fx):
+    op = family.SpectroSnearestT(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_LT_dottest(fx):
+    op = family.SpectroLT(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_R_dottest(fx):
+    op = family.SpectroR(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+    cube = op.mapsToCube(fx["maps"])
+    assert cube.shape == op.ishape
+
+
+def test_RL_dottest(fx):
+    op = family.SpectroRL(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_RLT_dottest(fx):
+    op = family.SpectroRLT(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_SigRLT_dottest(fx):
+    op = family.SpectroSigRLT(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_SigRLCT_dottest(fx):
+    op = family.SpectroSigRLCT(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_SigRLSCT_dottest(fx):
+    op = family.SpectroSigRLSCT1C(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_SigRLSCT_NN_dottest(fx):
+    op = family.SpectroSigRLSCT1C_NN(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_MO_SigRLSCT_dottest(fx):
+    op = family.MO_SigRLSCT(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        fx["pointings"][0],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_MO_SigRLSCT_shiftConv_dottest(fx):
+    op = family.MO_SigRLSCT_shiftConv(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        fx["pointings"][0],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_MCMO_SigRLSCT_dottest(fx):
+    op = family.MCMO_SigRLSCT(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        fx["instrs"],
+        fx["step_degree"],
+        fx["pointings"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_MCMO_SigRLSCT_NN_dottest(fx):
+    op = family.MCMO_SigRLSCT_NN(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        fx["instrs"],
+        fx["step_degree"],
+        fx["pointings"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_shiftConv_matches_gridding_at_origin(fx):
+    """shift-conv with zero dither must equal the regridding MO model."""
+    from surfh_tpu.instrument.geometry import Coord, CoordList
+
+    pts = CoordList([Coord(0.0, 0.0)])
+    kw = dict(dtype=jnp.float64)
+    a = family.MO_SigRLSCT(
+        fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+        fx["wavelength_axis"], _ifu(fx), fx["step_degree"], pts, **kw
+    )
+    b = family.MO_SigRLSCT_shiftConv(
+        fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+        fx["wavelength_axis"], _ifu(fx), fx["step_degree"], pts, **kw
+    )
+    ya = np.asarray(a.forward(fx["maps"]))
+    yb = np.asarray(b.forward(fx["maps"]))
+    np.testing.assert_allclose(ya, yb, rtol=1e-8, atol=1e-10)

@@ -22,6 +22,7 @@ from .family import (
     SpectroST,
     SpectroT,
 )
+from .mixing import MixingST, Model_WCT
 from .slicer import Slicer
 from .spectro import SpectroSigRLSCT
 
@@ -33,6 +34,8 @@ __all__ = [
     "MO_SigRLSCT_shiftConv",
     "MRSBlurred",
     "MRSBlurredRectangle",
+    "MixingST",
+    "Model_WCT",
     "Slicer",
     "SpectroC",
     "SpectroCT",

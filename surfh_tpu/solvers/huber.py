@@ -1,0 +1,181 @@
+"""Huber-prior MM memory-gradient solvers (the reference's semi-quadratic
+legacy reconstructions).
+
+Reference: `vox_reconstruction` / `lmm_reconstruction`
+(/root/reference/surfh/ToolsDir/algorithms.py:27-106), which drive
+`qmm.mmmg` on a quadratic data term plus Huber finite-difference priors.
+Here the whole MM memory-gradient iteration runs on device as one
+`lax.fori_loop`: each step builds the Geman–Reynolds half-quadratic majorant
+at the current point and minimizes it exactly over span{−∇J, x − x_prev}
+(a 2×2 solve), the subspace scheme of qmm's `mmmg`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cg import SolverResult
+
+
+def huber_value(u, delta):
+    a = jnp.abs(u)
+    return jnp.where(a <= delta, 0.5 * u * u, delta * a - 0.5 * delta * delta)
+
+
+def huber_grad(u, delta):
+    return jnp.clip(u, -delta, delta)
+
+
+def huber_weight(u, delta):
+    """Geman–Reynolds weights φ'(u)/u ∈ (0, 1]."""
+    a = jnp.abs(u)
+    return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-30))
+
+
+def diff_axis(x, axis: int):
+    """Non-circular forward difference along `axis` (the reference's
+    `aljabr.Diff`)."""
+    n = x.shape[axis]
+    return jax.lax.slice_in_dim(x, 1, n, axis=axis) - jax.lax.slice_in_dim(
+        x, 0, n - 1, axis=axis
+    )
+
+
+def diff_axis_t(y, axis: int, n: int):
+    """Exact adjoint of :func:`diff_axis`."""
+    pads = [(0, 0)] * y.ndim
+    pads[axis] = (1, 0)
+    a = jnp.pad(y, pads)  # a_j = y_{j-1}
+    pads[axis] = (0, 1)
+    b = jnp.pad(y, pads)  # b_j = y_j
+    return a - b
+
+
+def mmmg_huber(
+    data_fwd: Callable,
+    data_adj: Callable,
+    y,
+    priors: Sequence[Tuple[Callable, Callable, float, float]],
+    x0,
+    max_iter: int = 500,
+):
+    """MM memory-gradient for J(x) = ½‖Hx−y‖² + Σ_k µ_k Σ Huber_δk(D_k x).
+
+    priors: sequence of (D_fwd, D_adj, delta, mu).
+    The majorant at x uses Huber weights w = φ'(u)/u; subspace directions are
+    d0 = −∇J and d1 = x − x_prev, with the step from the 2×2 majorant system.
+    """
+    x0 = jnp.asarray(x0)
+    y = jnp.asarray(y, x0.dtype)
+
+    def grad(x):
+        g = data_adj(data_fwd(x) - y)
+        for D, Dt, delta, mu in priors:
+            g = g + mu * Dt(huber_grad(D(x), delta))
+        return g
+
+    def quad_form(x, d0, d1):
+        """Majorant Gram matrix entries over the subspace {d0, d1}."""
+        h0, h1 = data_fwd(d0), data_fwd(d1)
+        a00 = jnp.vdot(h0, h0).real
+        a01 = jnp.vdot(h0, h1).real
+        a11 = jnp.vdot(h1, h1).real
+        for D, Dt, delta, mu in priors:
+            w = huber_weight(D(x), delta)
+            dd0, dd1 = D(d0), D(d1)
+            a00 = a00 + mu * jnp.vdot(w * dd0, dd0).real
+            a01 = a01 + mu * jnp.vdot(w * dd0, dd1).real
+            a11 = a11 + mu * jnp.vdot(w * dd1, dd1).real
+        return a00, a01, a11
+
+    @jax.jit
+    def run(x0):
+        g0 = grad(x0)
+        # first step: steepest descent on the majorant
+        a00, _, _ = quad_form(x0, -g0, -g0)
+        alpha = jnp.vdot(g0, g0).real / jnp.maximum(a00, 1e-30)
+        x1 = x0 - alpha * g0
+        norms = jnp.zeros((max_iter,), x0.dtype)
+
+        def body(it, state):
+            x, x_prev, norms = state
+            g = grad(x)
+            d0 = -g
+            d1 = x - x_prev
+            a00, a01, a11 = quad_form(x, d0, d1)
+            b0 = -jnp.vdot(g, d0).real
+            b1 = -jnp.vdot(g, d1).real
+            det = a00 * a11 - a01 * a01
+            safe = jnp.abs(det) > 1e-30
+            s = jnp.where(safe, (b0 * a11 - b1 * a01) / jnp.where(safe, det, 1.0), b0 / jnp.maximum(a00, 1e-30))
+            t = jnp.where(safe, (b1 * a00 - b0 * a01) / jnp.where(safe, det, 1.0), 0.0)
+            x_new = x + s * d0 + t * d1
+            norms = norms.at[it].set(jnp.linalg.norm(g.ravel()))
+            return x_new, x, norms
+
+        x, x_prev, norms = jax.lax.fori_loop(1, max_iter, body, (x1, x0, norms))
+        return x, norms
+
+    x, norms = run(x0)
+    return SolverResult(
+        x=np.asarray(x),
+        grad_norm=np.asarray(norms)[1:],
+        n_iter=max_iter,
+        converged=True,
+    )
+
+
+def vox_reconstruction(
+    data,
+    data_model,
+    spat_reg: float = 1.0,
+    spat_th: float = 1.0,
+    spec_reg: float = 1.0,
+    spec_th: float = 1.0,
+    init=None,
+    max_iter: int = 500,
+) -> SolverResult:
+    """Voxel-cube reconstruction with Huber spatial-row/col + spectral priors
+    (reference algorithms.vox_reconstruction, :27-71).  `data_model` maps a
+    cube [λ, Nα, Nβ] to data; spatial diffs run over the sky axes and the
+    spectral diff over λ."""
+    ishape = data_model.ishape
+    fwd, adj = data_model.forward, data_model.adjoint
+    priors = [
+        (lambda x: diff_axis(x, 1), lambda u: diff_axis_t(u, 1, ishape[1]), spat_th, spat_reg),
+        (lambda x: diff_axis(x, 2), lambda u: diff_axis_t(u, 2, ishape[2]), spat_th, spat_reg),
+        (lambda x: diff_axis(x, 0), lambda u: diff_axis_t(u, 0, ishape[0]), spec_th, spec_reg),
+    ]
+    if init is None:
+        init = data_adj_init(data_model, data)
+    return mmmg_huber(fwd, adj, data, priors, init, max_iter=max_iter)
+
+
+def lmm_reconstruction(
+    data,
+    data_model,
+    spat_reg: float = 1.0,
+    spat_th: float = 1.0,
+    init=None,
+    max_iter: int = 500,
+) -> SolverResult:
+    """Abundance-maps reconstruction with Huber spatial priors
+    (reference algorithms.lmm_reconstruction, :74-106)."""
+    ishape = data_model.ishape
+    fwd, adj = data_model.forward, data_model.adjoint
+    priors = [
+        (lambda x: diff_axis(x, 1), lambda u: diff_axis_t(u, 1, ishape[1]), spat_th, spat_reg),
+        (lambda x: diff_axis(x, 2), lambda u: diff_axis_t(u, 2, ishape[2]), spat_th, spat_reg),
+    ]
+    if init is None:
+        init = data_adj_init(data_model, data)
+    return mmmg_huber(fwd, adj, data, priors, init, max_iter=max_iter)
+
+
+def data_adj_init(data_model, data):
+    """Hᵗy warm start (the reference's `data_adeq.ht_data` default)."""
+    return jnp.asarray(data_model.adjoint(data))

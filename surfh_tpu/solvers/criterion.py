@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import fft
+from ..core.linop import build_transpose
 from .cg import SolverResult, lcg, mmmg
 
 
@@ -101,7 +102,7 @@ class QuadCriterion_MRS:
         fwd = model_spectro.forward_fn if hasattr(model_spectro, "forward_fn") else model_spectro.forward
         self._fwd = fwd
         primal = jax.ShapeDtypeStruct(self.shape_of_output, self.dtype)
-        self._adj = jax.linear_transpose(fwd, primal)
+        self._adj = build_transpose(fwd, primal)
 
         if gradient == "joint":
             self._joint = DifferenceOperatorJoint(self.shape_of_output[1:], self.dtype)

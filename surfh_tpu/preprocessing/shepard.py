@@ -9,9 +9,61 @@ memory — the natural TPU shape for a dense scattered→grid interpolation.
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """Load the optional OpenMP C++ kernel (native/libsurfh_native.so)."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libsurfh_native.so",
+    )
+    if os.path.exists(path):
+        lib = ctypes.CDLL(path)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.exponential_modified_shepard.argtypes = [
+            f32p, f32p, f32p, ctypes.c_int64,
+            f32p, f32p, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            f32p,
+        ]
+        lib.exponential_modified_shepard.restype = None
+        _NATIVE_LIB = lib
+    return _NATIVE_LIB
+
+
+def _shepard_native(
+    pa, pl, vals, am, lm, p, alpha, pixel_cutoff, alpha_res, lambda_res, epsilon
+):
+    lib = _native_lib()
+    pa = np.ascontiguousarray(pa, np.float32)
+    pl = np.ascontiguousarray(pl, np.float32)
+    vals = np.ascontiguousarray(vals, np.float32)
+    ga = np.ascontiguousarray(am, np.float32).ravel()
+    gl = np.ascontiguousarray(lm, np.float32).ravel()
+    out = np.zeros(ga.size, np.float32)
+    c = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.exponential_modified_shepard(
+        c(pa), c(pl), c(vals), pa.size,
+        c(ga), c(gl), ga.size,
+        p, alpha, pixel_cutoff, alpha_res, lambda_res, epsilon,
+        c(out),
+    )
+    return out.reshape(np.shape(am))
 
 
 def exponential_modified_shepard(
@@ -27,13 +79,31 @@ def exponential_modified_shepard(
     lambda_res: float = 1.0,
     epsilon: float = 1e-6,
     row_chunk: int = 64,
+    backend: str = "auto",
 ):
     """Interpolate scattered (α, λ, value) samples onto a regular mesh.
 
     Matches the reference semantics: pixel-unit distances (axes scaled by
     their resolutions), weights exp(−alpha·dist^p) for dist ≤ pixel_cutoff,
     zero where no point is in range.  Returns an array shaped like the mesh.
+
+    backend: "jax" (device), "native" (OpenMP C++ from native/), or "auto"
+    (native when built and no accelerator is present, else jax).
     """
+    if backend not in ("auto", "jax", "native"):
+        raise ValueError(f"unknown backend {backend!r}")
+    use_native = backend == "native" or (
+        backend == "auto"
+        and _native_lib() is not None
+        and jax.default_backend() == "cpu"
+    )
+    if use_native:
+        if _native_lib() is None:
+            raise RuntimeError("native backend requested but native/libsurfh_native.so not built (make -C native)")
+        return _shepard_native(
+            alpha_coord, lambda_coord, values, alpha_mesh, lambda_mesh,
+            p, alpha, pixel_cutoff, alpha_res, lambda_res, epsilon,
+        )
     pa = jnp.asarray(alpha_coord, jnp.float32)
     pl = jnp.asarray(lambda_coord, jnp.float32)
     vals = jnp.asarray(values, jnp.float32)

@@ -188,6 +188,51 @@ class SpectroSigRLSCT(LinOp):
             data[self._idx[ch_idx] : self._idx[ch_idx + 1]] = block.ravel()
         return data
 
+    def plot_slice(self, all_data, n_chan: int, nslice: int):
+        """Re-project one detector λ-slice of a channel onto the sky
+        (reference spectroModel.py:242-286): β-duplicate each slit row,
+        α-upsample, conj SRF-OTF, reverse-grid, and co-add over pointings.
+        Returns (weighted_mean, global_img)."""
+        from ..core import numpy_ref
+
+        chan = self.channels[n_chan]
+        global_img = np.zeros(self.imshape)
+        cum_grid = np.zeros((len(self.pointings[n_chan]),) + self.imshape)
+
+        all_data = np.asarray(all_data).ravel()
+        chan_data = all_data[self._idx[n_chan] : self._idx[n_chan + 1]]
+        data = chan_data.reshape(chan.oshape)[:, :, nslice, :]
+
+        nla, nlb = chan.local_im_shape
+        sb = chan.slicer.npix_slit_beta_width
+        for p_idx in range(len(chan.pointings)):
+            local_img = np.zeros((nla, nlb))
+            for slit_idx in range(chan.instr.n_slit):
+                over = (
+                    np.repeat(data[p_idx, slit_idx][:, np.newaxis], sb, axis=1)
+                    / (sb * chan.srf)
+                )
+                sliced = np.zeros((1,) + chan.slicer.get_slit_shape()[1:])
+                sliced[0, : data.shape[2] * chan.srf : chan.srf, :] = over
+                local_img += chan.slicer.slicing_t(
+                    sliced, slit_idx, (1, nla, nlb)
+                )[0]
+            sum_t = np.fft.irfftn(
+                np.fft.rfftn(local_img, norm="ortho")
+                * (chan._otf_sr[0].conj() * chan.decalf.conj()),
+                s=(nla, nlb),
+                norm="ortho",
+            )
+            degridded = numpy_ref.apply_plan(
+                chan.plans_rev[p_idx], sum_t[np.newaxis]
+            ).reshape(self.imshape)
+            global_img += degridded
+            cum_grid[p_idx] = degridded
+        valid = np.sum(cum_grid > 100, axis=0)
+        total = np.sum(cum_grid, axis=0)
+        weighted_mean = np.divide(total, valid, where=valid != 0)
+        return weighted_mean, global_img
+
     def make_mask(self, all_data, threshold: float = 50.0, nslice: int = 50):
         """One binary spatial mask per channel group (reference :289-338):
         re-project one detector λ-slice of each channel-1 band to the sky and

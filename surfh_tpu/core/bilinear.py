@@ -133,6 +133,53 @@ def scatter_plan(plan_idx, plan_w, values, grid_shape: Tuple[int, int]):
     return flat.reshape(values.shape[:-1] + (na, nb))
 
 
+@dataclass(frozen=True)
+class TransposePlan:
+    """Sorted-COO form of a gather plan's transpose for fast scatter.
+
+    The exact adjoint of :func:`apply_plan` is a 4-point scatter-add; XLA's
+    generic scatter is slow on TPU.  Pre-sorting the (output-pixel, source,
+    weight) triplets by output pixel turns the scatter into one gather plus a
+    `segment_sum` with ``indices_are_sorted=True`` — a linear-time pass that
+    XLA vectorizes well.
+    """
+
+    src: np.ndarray  # int32 [nnz] indices into the P target points
+    dst: np.ndarray  # int32 [nnz] sorted flat indices into the (Na·Nb) grid
+    w: np.ndarray  # float [nnz]
+    shape: Tuple[int, int]
+
+
+def transpose_plan(plan: BilinearPlan) -> TransposePlan:
+    """Build the sorted-COO transpose of a gather plan (host, once)."""
+    ncorner, P = plan.idx.shape
+    src = np.tile(np.arange(P, dtype=np.int32), ncorner)
+    dst = plan.idx.reshape(-1)
+    w = plan.w.reshape(-1)
+    keep = w != 0
+    src, dst, w = src[keep], dst[keep], w[keep]
+    order = np.argsort(dst, kind="stable")
+    return TransposePlan(
+        src[order].astype(np.int32), dst[order].astype(np.int32), w[order], plan.shape
+    )
+
+
+def apply_transpose_plan(tplan: TransposePlan, values, dtype=None):
+    """Exact adjoint of :func:`apply_plan` as gather + sorted segment-sum.
+
+    values: [..., P] → out [..., Na, Nb].
+    """
+    na, nb = tplan.shape
+    contrib = values[..., tplan.src] * tplan.w.astype(values.dtype)
+    flat = jax.ops.segment_sum(
+        contrib.reshape(-1, contrib.shape[-1]).T,
+        jnp.asarray(tplan.dst),
+        num_segments=na * nb,
+        indices_are_sorted=True,
+    ).T
+    return flat.reshape(values.shape[:-1] + (na, nb))
+
+
 def grid_points(alpha_coords: np.ndarray, beta_coords: np.ndarray) -> np.ndarray:
     """Stack 2-D coordinate fields into an [P, 2] point list (row-major)."""
     return np.vstack([alpha_coords.ravel(), beta_coords.ravel()]).T

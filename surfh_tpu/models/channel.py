@@ -160,6 +160,9 @@ class Channel:
         self._plans_rev_dev = [
             (np.asarray(p.idx), np.asarray(p.w, npdtype)) for p in self.plans_rev
         ]
+        # sorted-COO transposes of the forward gather plans: the exact
+        # adjoint's 4-point scatter-add becomes gather + sorted segment-sum
+        self._tplans_fwd = [bilinear.transpose_plan(p) for p in self.plans_fwd]
 
         # Slit window tables, α pre-subsampled by the SRF.
         a_starts, b_starts, weights = self.slicer.slit_tables()
@@ -252,6 +255,40 @@ class Channel:
             lambda xw: self._forward_windowed(xw, self._wpsf_dev), primal
         )
         return transpose(jnp.asarray(y, self.dtype).reshape(self.oshape))[0]
+
+    def _adjoint_windowed_fast(self, y):
+        """Hand-written exact transpose of :meth:`_forward_windowed`.
+
+        Same math as the derived transpose but with the two scatter hot
+        spots restructured for TPU: the spectral-blur transpose is one MXU
+        einsum per pointing, and the gridding transpose is a presorted
+        segment-sum instead of XLA's generic 4-point scatter.
+        """
+        n_aout = self.oshape[3]
+        srf = self.srf
+        nla, nlb = self.local_im_shape
+        W = self.n_wslice
+        sb = self.slit_shape[2]
+        wpsf = self._wpsf_dev
+        out = jnp.zeros((W,) + self.imshape, y.dtype)
+        for p_idx, tplan in enumerate(self._tplans_fwd):
+            # transpose of wblur_sum_beta, all slits at once
+            win_t = jnp.einsum("ska,klb->slab", y[p_idx], wpsf)
+            win_t = win_t * self.slit_weights_sub[:, jnp.newaxis, :, :]
+            summed_t = jnp.zeros((W, nla, nlb), y.dtype)
+            for s, (a0, b0) in enumerate(
+                zip(self.slit_a_starts, self.slit_b_starts)
+            ):
+                summed_t = summed_t.at[
+                    :, a0 : a0 + n_aout * srf : srf, b0 : b0 + sb
+                ].add(win_t[s])
+            gridded_t = fft.idft(
+                fft.dft(summed_t) * jnp.conj(self.otf_combined), (nla, nlb)
+            )
+            out = out + bilinear.apply_transpose_plan(
+                tplan, gridded_t.reshape(W, -1)
+            )
+        return out
 
     # ------------------------------------------------------------------
     # reference-parity adjoint (approximate reverse-interp gridding_t)

@@ -128,6 +128,7 @@ class SpectroSigRLSCT(LinOp):
         )
         self._forward_jit = jax.jit(self._forward_fn)
         self._fwadj_jit = None
+        self._adjoint_fast_jit = None
 
     # ------------------------------------------------------------------
     def _forward_fn(self, x):
@@ -147,11 +148,42 @@ class SpectroSigRLSCT(LinOp):
     def forward(self, x):
         return self._forward_jit(jnp.asarray(x, self.dtype).reshape(self.ishape))
 
-    # adjoint: inherited exact transpose from LinOp (linear_transpose of
-    # _forward_fn → per-channel λ-window scatter-add + conj OTF + Tᵗ).
     def forward_fn(self, x):
         """Pure function (for jit composition in solvers)."""
         return self._forward_fn(x)
+
+    # ------------------------------------------------------------------
+    def adjoint_fn(self, y):
+        """Hand-written exact transpose of :meth:`_forward_fn` (pure fn).
+
+        Mathematically identical to the derived `linear_transpose` (the
+        LinOp default, kept as :meth:`adjoint_auto`), but with the gridding
+        transpose as a presorted segment-sum and the spectral-blur transpose
+        as one einsum per pointing — the TPU-fast formulation.
+        """
+        y = y.reshape(self.oshape)
+        cube = jnp.zeros(self.cube_shape, self.dtype)
+        for c, chan in enumerate(self.channels):
+            block = y[int(self._idx[c]) : int(self._idx[c + 1])].reshape(chan.oshape)
+            cube_w = chan._adjoint_windowed_fast(block)
+            # static λ-window scatter-add (overlapping windows accumulate)
+            cube = cube.at[chan.wslice.start : chan.wslice.stop].add(cube_w)
+        blurred_t = fft.idft(fft.dft(cube) * jnp.conj(self._sotf_dev), self.imshape)
+        if self.lmm:
+            return lmm.lmm_cube2maps(blurred_t, self._templates_dev)
+        return blurred_t
+
+    def adjoint(self, y):
+        """Exact adjoint (hand-optimized path; see :meth:`adjoint_fn`)."""
+        if self._adjoint_fast_jit is None:
+            self._adjoint_fast_jit = jax.jit(self.adjoint_fn)
+        return self._adjoint_fast_jit(
+            jnp.asarray(y, self.dtype).reshape(self.oshape)
+        )
+
+    def adjoint_auto(self, y):
+        """Derived `linear_transpose` adjoint (reference for tests)."""
+        return super().adjoint(y)
 
     # ------------------------------------------------------------------
     def mapsToCube(self, maps):

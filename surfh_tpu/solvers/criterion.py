@@ -101,8 +101,13 @@ class QuadCriterion_MRS:
 
         fwd = model_spectro.forward_fn if hasattr(model_spectro, "forward_fn") else model_spectro.forward
         self._fwd = fwd
-        primal = jax.ShapeDtypeStruct(self.shape_of_output, self.dtype)
-        self._adj = build_transpose(fwd, primal)
+        if hasattr(model_spectro, "adjoint_fn"):
+            # hand-optimized exact transpose (e.g. SpectroSigRLSCT.adjoint_fn)
+            adj_fn = model_spectro.adjoint_fn
+            self._adj = lambda y: (adj_fn(y),)
+        else:
+            primal = jax.ShapeDtypeStruct(self.shape_of_output, self.dtype)
+            self._adj = build_transpose(fwd, primal)
 
         if gradient == "joint":
             self._joint = DifferenceOperatorJoint(self.shape_of_output[1:], self.dtype)

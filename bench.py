@@ -17,10 +17,12 @@ import time
 
 import numpy as np
 
+# Presets trade compile time (≈ channels × pointings × slits unrolled ops —
+# expensive through remote-compile tunnels) against arithmetic size.
 PRESETS = {
     "small": dict(im_size=81, n_lambda=60, n_tpl=4, n_channels=2, n_pointings=2, n_slit=5),
-    "medium": dict(im_size=251, n_lambda=250, n_tpl=4, n_channels=4, n_pointings=4, n_slit=11),
-    "large": dict(im_size=501, n_lambda=600, n_tpl=4, n_channels=6, n_pointings=4, n_slit=17),
+    "medium": dict(im_size=251, n_lambda=250, n_tpl=4, n_channels=2, n_pointings=2, n_slit=11),
+    "large": dict(im_size=501, n_lambda=600, n_tpl=4, n_channels=4, n_pointings=4, n_slit=17),
 }
 
 
@@ -48,17 +50,12 @@ def main():
     model, setup = make_model(dtype=jnp.float32, **cfg)
     maps = jnp.asarray(setup["maps"], jnp.float32)
 
-    from surfh_tpu.core.linop import build_transpose
-
-    primal = jax.ShapeDtypeStruct(model.ishape, jnp.float32)
-    transpose = build_transpose(model._forward_fn, primal)
-
     @jax.jit
     def fwd_adj(x):
         # reduce to a scalar so timing forces the full computation through a
         # device→host fetch (block_until_ready alone can return early on
         # remote-tunneled backends)
-        out = transpose(model._forward_fn(x))[0]
+        out = model.adjoint_fn(model._forward_fn(x))
         return jnp.sum(out)
 
     # warm-up / compile

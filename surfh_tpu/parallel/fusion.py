@@ -114,9 +114,32 @@ class ShardedSpectro:
         return fwd
 
     def _make_channel_adj(self, c: int) -> Callable:
-        primal = jax.ShapeDtypeStruct(self.model.ishape, self.model.dtype)
-        transpose = linop_mod.build_transpose(self._fwd_fns[c], primal)
-        return lambda y: transpose(y)[0]
+        """Hand-written exact transpose of the per-channel windowed forward
+        (same fast formulation as SpectroSigRLSCT.adjoint_fn)."""
+        model = self.model
+        chan = model.channels[c]
+        wsl = chan.wslice
+        npctype = np.complex64 if model.dtype == jnp.float32 else np.complex128
+        npdtype = np.float32 if model.dtype == jnp.float32 else np.float64
+        sotf_w_conj = np.asarray(model.sotf[wsl].conj(), npctype)
+        imshape = model.imshape
+        if model.lmm:
+            tpl_w = np.asarray(model.templates[:, wsl], npdtype)
+
+            def adj(y):
+                cube_w = chan._adjoint_windowed_fast(y)
+                blurred_t = fft.idft(fft.dft(cube_w) * sotf_w_conj, imshape)
+                return lmm.lmm_cube2maps(blurred_t, tpl_w)
+
+        else:
+
+            def adj(y):
+                cube_w = chan._adjoint_windowed_fast(y)
+                blurred_t = fft.idft(fft.dft(cube_w) * sotf_w_conj, imshape)
+                out = jnp.zeros(model.ishape, y.dtype)
+                return out.at[wsl.start : wsl.stop].add(blurred_t)
+
+        return adj
 
     # ------------------------------------------------------------------
     # SPMD bodies (run per device under shard_map)

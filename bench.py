@@ -47,25 +47,33 @@ def main():
     cfg = PRESETS[preset]
     reps = int(os.environ.get("SURFH_BENCH_REPS", "5"))
 
-    model, setup = make_model(dtype=jnp.float32, **cfg)
+    wblur_impl = os.environ.get("SURFH_WBLUR_IMPL", "dense")
+    model, setup = make_model(dtype=jnp.float32, wblur_impl=wblur_impl, **cfg)
     maps = jnp.asarray(setup["maps"], jnp.float32)
 
+    # Chain CHAIN applications sequentially inside one jitted call (like CG
+    # iterations) and fetch a scalar: one host↔device round trip per timing
+    # sample, so tunnel latency doesn't pollute the kernel time.
+    chain = int(os.environ.get("SURFH_BENCH_CHAIN", "10"))
+
     @jax.jit
-    def fwd_adj(x):
-        # reduce to a scalar so timing forces the full computation through a
-        # device→host fetch (block_until_ready alone can return early on
-        # remote-tunneled backends)
-        out = model.adjoint_fn(model._forward_fn(x))
-        return jnp.sum(out)
+    def fwd_adj_chain(x):
+        def body(i, carry):
+            x, acc = carry
+            out = model.adjoint_fn(model._forward_fn(x + acc * 1e-30))
+            return x, acc + jnp.sum(out)
+
+        _, acc = jax.lax.fori_loop(0, chain, body, (x, jnp.float32(0)))
+        return acc
 
     # warm-up / compile
-    float(fwd_adj(maps))
+    float(fwd_adj_chain(maps))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(fwd_adj(maps))
+        float(fwd_adj_chain(maps))
         times.append(time.perf_counter() - t0)
-    t_jax = float(np.median(times))
+    t_jax = float(np.median(times)) / chain
 
     vox = 2.0 * float(np.prod(model.cube_shape))
     gvox_s = vox / t_jax / 1e9

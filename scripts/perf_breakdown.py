@@ -25,17 +25,29 @@ PRESETS = {
 }
 
 
-def timed(fn, *args, reps=5):
+def timed(fn, x, reps=5, chain=10):
+    """Median time of one application, amortizing host↔device round-trip
+    latency by chaining `chain` dependent applications per jitted call."""
+    import jax
     import jax.numpy as jnp
 
-    out = fn(*args)
-    float(jnp.sum(out))  # force
+    @jax.jit
+    def run(x):
+        def body(i, carry):
+            x, acc = carry
+            out = fn(x + acc.astype(x.dtype) * 1e-30)
+            return x, acc + jnp.sum(out).astype(jnp.float32)
+
+        _, acc = jax.lax.fori_loop(0, chain, body, (x, jnp.float32(0)))
+        return acc
+
+    float(run(x))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(jnp.sum(fn(*args)))
+        float(run(x))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)) / chain
 
 
 def main():
@@ -104,12 +116,7 @@ def main():
 
     full = jax.jit(model._forward_fn)
     t_full = timed(full, maps)
-
-    from surfh_tpu.core.linop import build_transpose
-
-    primal = jax.ShapeDtypeStruct(model.ishape, jnp.float32)
-    T = build_transpose(model._forward_fn, primal)
-    t_adj = timed(jax.jit(lambda y: T(y)[0]), full(maps))
+    t_adj = timed(jax.jit(model.adjoint_fn), full(maps))
 
     print(f"lmm (T):            {t_lmm*1e3:9.2f} ms")
     print(f"global conv (C):    {t_conv*1e3:9.2f} ms")

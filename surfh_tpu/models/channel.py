@@ -53,7 +53,12 @@ class Channel:
         step_degree: float,
         dtype=jnp.float32,
         gridding: str = "bilinear",
+        wblur_impl: str = "dense",
     ):
+        if wblur_impl not in ("dense", "banded"):
+            raise ValueError(f"unknown wblur_impl {wblur_impl!r}")
+        self.wblur_impl = wblur_impl
+        self._band_plan = None
         self.alpha_axis = np.asarray(alpha_axis, np.float64)
         self.beta_axis = np.asarray(beta_axis, np.float64)
         self.step_degree = float(step_degree)
@@ -203,13 +208,41 @@ class Channel:
             type=kind,
         )
 
+    def band_plan(self):
+        """Banded-contraction plan of this channel's wpsf (built lazily)."""
+        if self._band_plan is None:
+            from ..core import wblur_pallas
+
+            self._band_plan = wblur_pallas.build_band_plan(self.wpsf)
+        return self._band_plan
+
     # ------------------------------------------------------------------
     # pure forward pipeline (works on the windowed cube [W, Na, Nb])
     def _forward_windowed(self, xw, wpsf):
+        """Dispatching forward: the Sig·R contraction runs dense (XLA einsum)
+        or banded (Pallas kernel exploiting the wpsf's λ-support)."""
+        return self._forward_windowed_impl(xw, wpsf, self.wblur_impl)
+
+    def _forward_windowed_dense(self, xw, wpsf):
+        """Dense-only forward — transposable with `jax.linear_transpose`
+        (Pallas calls have no transpose rule)."""
+        return self._forward_windowed_impl(xw, wpsf, "dense")
+
+    def _forward_windowed_impl(self, xw, wpsf, impl):
         n_aout = self.oshape[3]
         srf = self.srf
         nla, nlb = self.local_im_shape
         sa, sb = self.slit_shape[1], self.slit_shape[2]
+        # the banded plan is built from the channel's own (mrs) wpsf; any
+        # other spectral response (e.g. dirac re-projection) stays dense
+        banded = impl == "banded" and wpsf is self._wpsf_dev
+        if banded:
+            import jax as _jax
+
+            from ..core import wblur_pallas
+
+            plan = self.band_plan()
+            interpret = _jax.default_backend() == "cpu"
         per_pointing = []
         for idx, w in self._plans_fwd_dev:
             gridded = bilinear.apply_plan(idx, w, xw).reshape(xw.shape[0], nla, nlb)
@@ -225,7 +258,12 @@ class Channel:
                 ]
             )
             windows = windows * self.slit_weights_sub[:, jnp.newaxis, :, :]
-            per_pointing.append(wblur.wblur_sum_beta_batched(windows, wpsf))
+            if banded:
+                per_pointing.append(
+                    wblur_pallas.wblur_sum_beta_banded(windows, plan, interpret=interpret).astype(xw.dtype)
+                )
+            else:
+                per_pointing.append(wblur.wblur_sum_beta_batched(windows, wpsf))
         return jnp.stack(per_pointing)
 
     def _forward_fn(self, cube):
@@ -242,7 +280,14 @@ class Channel:
         """Exact transpose of :meth:`forward`: [P, S, λ_det, α_out] → cube."""
         if self._adjoint_jit is None:
             primal = jax.ShapeDtypeStruct(self.ishape, self.dtype)
-            transpose = linop.build_transpose(self._forward_fn, primal)
+
+            def dense_fwd(cube):
+                xw = jax.lax.slice_in_dim(
+                    cube, self.wslice.start, self.wslice.stop, axis=0
+                )
+                return self._forward_windowed_dense(xw, self._wpsf_dev)
+
+            transpose = linop.build_transpose(dense_fwd, primal)
             self._adjoint_jit = jax.jit(lambda y: transpose(y)[0])
         return self._adjoint_jit(jnp.asarray(y, self.dtype).reshape(self.oshape))
 
@@ -252,7 +297,7 @@ class Channel:
             (self.n_wslice,) + self.ishape[1:], self.dtype
         )
         transpose = linop.build_transpose(
-            lambda xw: self._forward_windowed(xw, self._wpsf_dev), primal
+            lambda xw: self._forward_windowed_dense(xw, self._wpsf_dev), primal
         )
         return transpose(jnp.asarray(y, self.dtype).reshape(self.oshape))[0]
 

@@ -62,6 +62,7 @@ class SpectroSigRLSCT(LinOp):
         pointings,
         dtype=jnp.float32,
         gridding: str = "bilinear",
+        wblur_impl: str = "dense",
     ):
         self.sotf = np.asarray(sotf)
         self.alpha_axis = np.asarray(alpha_axis, np.float64)
@@ -96,6 +97,7 @@ class SpectroSigRLSCT(LinOp):
                 step_degree,
                 dtype=dtype,
                 gridding=gridding,
+                wblur_impl=wblur_impl,
             )
             for it, (srf, instr) in enumerate(zip(self.srfs, instrs))
         ]
@@ -182,8 +184,36 @@ class SpectroSigRLSCT(LinOp):
         )
 
     def adjoint_auto(self, y):
-        """Derived `linear_transpose` adjoint (reference for tests)."""
-        return super().adjoint(y)
+        """Derived `linear_transpose` adjoint (reference for tests).
+
+        Transposes the dense-wblur forward — identical math to the banded
+        kernel, and Pallas calls are not transposable."""
+        if self._transpose_fn is None:
+
+            def dense_fwd(x):
+                if self.lmm:
+                    cube = lmm.lmm_maps2cube(x, self._templates_dev)
+                else:
+                    cube = x
+                blurred = fft.idft(fft.dft(cube) * self._sotf_dev, self.imshape)
+                outs = []
+                for chan in self.channels:
+                    xw = jax.lax.slice_in_dim(
+                        blurred, chan.wslice.start, chan.wslice.stop, axis=0
+                    )
+                    outs.append(
+                        chan._forward_windowed_dense(xw, chan._wpsf_dev).ravel()
+                    )
+                return jnp.concatenate(outs)
+
+            from ..core.linop import build_transpose
+
+            primal = jax.ShapeDtypeStruct(self.ishape, self.dtype)
+            transpose = build_transpose(dense_fwd, primal)
+            self._transpose_fn = jax.jit(
+                lambda y: transpose(jnp.asarray(y, self.dtype).reshape(self.oshape))[0]
+            )
+        return self._transpose_fn(y)
 
     # ------------------------------------------------------------------
     def mapsToCube(self, maps):

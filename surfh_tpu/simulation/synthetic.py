@@ -139,7 +139,13 @@ def make_setup(
     )
 
 
-def make_model(setup: Optional[dict] = None, dtype=None, **kwargs):
+def make_model(
+    setup: Optional[dict] = None,
+    dtype=None,
+    gridding: str = "bilinear",
+    wblur_impl: str = "dense",
+    **kwargs,
+):
     """Build the flagship `SpectroSigRLSCT` from a synthetic setup."""
     import jax.numpy as jnp
 
@@ -159,5 +165,7 @@ def make_model(setup: Optional[dict] = None, dtype=None, **kwargs):
         setup["step_degree"],
         setup["pointings"],
         dtype=dtype,
+        gridding=gridding,
+        wblur_impl=wblur_impl,
     )
     return model, setup

@@ -135,49 +135,56 @@ def scatter_plan(plan_idx, plan_w, values, grid_shape: Tuple[int, int]):
 
 @dataclass(frozen=True)
 class TransposePlan:
-    """Sorted-COO form of a gather plan's transpose for fast scatter.
+    """Transpose-as-gather form of a gather plan's adjoint.
 
-    The exact adjoint of :func:`apply_plan` is a 4-point scatter-add; XLA's
-    generic scatter is slow on TPU.  Pre-sorting the (output-pixel, source,
-    weight) triplets by output pixel turns the scatter into one gather plus a
-    `segment_sum` with ``indices_are_sorted=True`` — a linear-time pass that
-    XLA vectorizes well.
+    The exact adjoint of :func:`apply_plan` is a 4-point scatter-add, which is
+    slow on TPU (generic scatter / segment reductions).  But each *grid*
+    pixel receives contributions from a small bounded set of target points
+    (≈ the local/global grid density ratio × 4 corners), so the transpose is
+    itself a padded gather: per grid pixel, up to C (source index, weight)
+    pairs, zero-padded.  Applying it is the same vectorized weighted-gather
+    shape as the forward — no scatter anywhere in the pipeline.
     """
 
-    src: np.ndarray  # int32 [nnz] indices into the P target points
-    dst: np.ndarray  # int32 [nnz] sorted flat indices into the (Na·Nb) grid
-    w: np.ndarray  # float [nnz]
+    idx: np.ndarray  # int32 [C, Na·Nb] indices into the P target points
+    w: np.ndarray  # float [C, Na·Nb] weights (0 padding)
     shape: Tuple[int, int]
 
 
 def transpose_plan(plan: BilinearPlan) -> TransposePlan:
-    """Build the sorted-COO transpose of a gather plan (host, once)."""
+    """Build the padded gather-form transpose of a plan (host, once)."""
     ncorner, P = plan.idx.shape
-    src = np.tile(np.arange(P, dtype=np.int32), ncorner)
-    dst = plan.idx.reshape(-1)
+    N = plan.shape[0] * plan.shape[1]
+    src = np.tile(np.arange(P, dtype=np.int64), ncorner)
+    dst = plan.idx.reshape(-1).astype(np.int64)
     w = plan.w.reshape(-1)
     keep = w != 0
     src, dst, w = src[keep], dst[keep], w[keep]
     order = np.argsort(dst, kind="stable")
-    return TransposePlan(
-        src[order].astype(np.int32), dst[order].astype(np.int32), w[order], plan.shape
-    )
+    src, dst, w = src[order], dst[order], w[order]
+    counts = np.bincount(dst, minlength=N)
+    C = int(counts.max()) if counts.size else 1
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    idx_arr = np.zeros((C, N), np.int32)
+    w_arr = np.zeros((C, N), plan.w.dtype)
+    present = np.flatnonzero(counts)
+    for c in range(C):
+        sel = present[counts[present] > c]
+        idx_arr[c, sel] = src[starts[sel] + c]
+        w_arr[c, sel] = w[starts[sel] + c]
+    return TransposePlan(idx_arr, w_arr, plan.shape)
 
 
 def apply_transpose_plan(tplan: TransposePlan, values, dtype=None):
-    """Exact adjoint of :func:`apply_plan` as gather + sorted segment-sum.
+    """Exact adjoint of :func:`apply_plan` as a padded weighted gather.
 
     values: [..., P] → out [..., Na, Nb].
     """
     na, nb = tplan.shape
-    contrib = values[..., tplan.src] * tplan.w.astype(values.dtype)
-    flat = jax.ops.segment_sum(
-        contrib.reshape(-1, contrib.shape[-1]).T,
-        jnp.asarray(tplan.dst),
-        num_segments=na * nb,
-        indices_are_sorted=True,
-    ).T
-    return flat.reshape(values.shape[:-1] + (na, nb))
+    out = jnp.zeros(values.shape[:-1] + (na * nb,), values.dtype)
+    for c in range(tplan.idx.shape[0]):
+        out = out + tplan.w[c] * jnp.take(values, tplan.idx[c], axis=-1)
+    return out.reshape(values.shape[:-1] + (na, nb))
 
 
 def grid_points(alpha_coords: np.ndarray, beta_coords: np.ndarray) -> np.ndarray:

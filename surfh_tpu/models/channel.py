@@ -315,18 +315,39 @@ class Channel:
         W = self.n_wslice
         sb = self.slit_shape[2]
         wpsf = self._wpsf_dev
+        K = wpsf.shape[0]
+        S = self.oshape[1]
+        # one explicit MXU matmul [S·A, K] @ [K, W·B] (an einsum spelling of
+        # the same contraction can land on the VPU with a bad layout)
+        wp2d = wpsf.reshape(K, W * sb)
         out = jnp.zeros((W,) + self.imshape, y.dtype)
         for p_idx, tplan in enumerate(self._tplans_fwd):
             # transpose of wblur_sum_beta, all slits at once
-            win_t = jnp.einsum("ska,klb->slab", y[p_idx], wpsf)
+            y2d = jnp.transpose(y[p_idx], (0, 2, 1)).reshape(S * n_aout, K)
+            win_t = jax.lax.dot_general(
+                y2d, wp2d, (((1,), (0,)), ((), ())),
+                preferred_element_type=y.dtype,
+            ).reshape(S, n_aout, W, sb)
+            win_t = jnp.transpose(win_t, (0, 2, 1, 3))
             win_t = win_t * self.slit_weights_sub[:, jnp.newaxis, :, :]
-            summed_t = jnp.zeros((W, nla, nlb), y.dtype)
+            # α-upsample as a pad (stride becomes a reshaped axis — much
+            # faster than strided scatter on TPU), then contiguous block adds
+            up = jnp.zeros((S, W, n_aout, srf, sb), y.dtype)
+            up = up.at[:, :, :, 0, :].set(win_t).reshape(S, W, n_aout * srf, sb)
+            # α padded so the contiguous blocks never clip (the strided
+            # forward read stops inside the grid; ceil(sa/srf)·srf may not)
+            nla_pad = max(
+                nla,
+                max(int(a0) + n_aout * srf for a0 in self.slit_a_starts),
+            )
+            summed_t = jnp.zeros((W, nla_pad, nlb), y.dtype)
             for s, (a0, b0) in enumerate(
                 zip(self.slit_a_starts, self.slit_b_starts)
             ):
                 summed_t = summed_t.at[
-                    :, a0 : a0 + n_aout * srf : srf, b0 : b0 + sb
-                ].add(win_t[s])
+                    :, a0 : a0 + n_aout * srf, b0 : b0 + sb
+                ].add(up[s])
+            summed_t = summed_t[:, :nla, :]
             gridded_t = fft.idft(
                 fft.dft(summed_t) * jnp.conj(self.otf_combined), (nla, nlb)
             )

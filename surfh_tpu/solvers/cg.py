@@ -33,6 +33,59 @@ def _as_tuple(x):
     return x if isinstance(x, (tuple, list)) else (x,)
 
 
+# Compiled-solver cache: re-tracing (and remote-recompiling) the jitted loop
+# on every solve call costs far more than the solve itself on tunneled TPU
+# backends.  Keyed by operator identity + static loop parameters; tol is a
+# runtime argument so changing it never retraces.
+_LCG_CACHE: dict = {}
+_MMMG_CACHE: dict = {}
+
+
+def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str):
+    key = (id(normal_op), id(M), max_iter, shape, dtype_str)
+    if key in _LCG_CACHE:
+        return _LCG_CACHE[key][0]
+
+    prec = M if M is not None else (lambda r: r)
+
+    @jax.jit
+    def run(x0, b, tol):
+        r0 = b - normal_op(x0)
+        z0 = prec(r0)
+        p0 = z0
+        rz0 = jnp.vdot(r0, z0).real
+        gnorm0 = jnp.linalg.norm(r0.ravel())
+        bnorm = jnp.linalg.norm(b.ravel())
+        norms = jnp.zeros((max_iter,), x0.dtype)
+
+        def cond(state):
+            x, r, z, p, rz, it, norms = state
+            return jnp.logical_and(
+                it < max_iter, jnp.linalg.norm(r.ravel()) > tol * bnorm
+            )
+
+        def body(state):
+            x, r, z, p, rz, it, norms = state
+            qp = normal_op(p)
+            alpha = rz / jnp.vdot(p, qp).real
+            x = x + alpha * p
+            r = r - alpha * qp
+            z = prec(r)
+            rz_new = jnp.vdot(r, z).real
+            beta = rz_new / rz
+            p = z + beta * p
+            norms = norms.at[it].set(jnp.linalg.norm(r.ravel()))
+            return x, r, z, p, rz_new, it + 1, norms
+
+        state = (x0, r0, z0, p0, rz0, jnp.asarray(0), norms)
+        x, r, z, p, rz, it, norms = jax.lax.while_loop(cond, body, state)
+        return x, norms, it, gnorm0
+
+    # hold strong refs to the keyed callables so ids stay valid
+    _LCG_CACHE[key] = (run, normal_op, M)
+    return run
+
+
 def lcg(
     normal_op: Callable,
     b,
@@ -51,41 +104,12 @@ def lcg(
     x0 = jnp.asarray(x0)
     b = jnp.asarray(b, x0.dtype)
 
-    M = precond if precond is not None else (lambda r: r)
-
-    @jax.jit
-    def run(x0, b):
-        r0 = b - normal_op(x0)
-        z0 = M(r0)
-        p0 = z0
-        rz0 = jnp.vdot(r0, z0).real
-        gnorm0 = jnp.linalg.norm(r0.ravel())
-        bnorm = jnp.linalg.norm(b.ravel())
-        norms = jnp.zeros((max_iter,), x0.dtype)
-
-        def cond(state):
-            x, r, z, p, rz, it, norms = state
-            return jnp.logical_and(it < max_iter, jnp.linalg.norm(r.ravel()) > tol * bnorm)
-
-        def body(state):
-            x, r, z, p, rz, it, norms = state
-            qp = normal_op(p)
-            alpha = rz / jnp.vdot(p, qp).real
-            x = x + alpha * p
-            r = r - alpha * qp
-            z = M(r)
-            rz_new = jnp.vdot(r, z).real
-            beta = rz_new / rz
-            p = z + beta * p
-            norms = norms.at[it].set(jnp.linalg.norm(r.ravel()))
-            return x, r, z, p, rz_new, it + 1, norms
-
-        state = (x0, r0, z0, p0, rz0, jnp.asarray(0), norms)
-        x, r, z, p, rz, it, norms = jax.lax.while_loop(cond, body, state)
-        return x, norms, it, gnorm0
-
-    x, norms, it, gnorm0 = run(x0, b)
-    it = int(it)
+    M = precond if precond is not None else None
+    run = _lcg_compiled(normal_op, M, max_iter, x0.shape, str(x0.dtype))
+    x, norms, it, gnorm0 = run(x0, b, jnp.asarray(tol, x0.dtype))
+    # fetch the iteration count as f32 (some TPU runtimes cannot transfer
+    # integer scalars device->host)
+    it = int(float(jnp.asarray(it, jnp.float32)))
     norms = np.asarray(norms)[:it]
     res = SolverResult(
         x=np.asarray(x),
@@ -114,8 +138,22 @@ def mmmg(
     x0 = jnp.asarray(x0)
     b = jnp.asarray(b, x0.dtype)
 
+    key = (id(normal_op), max_iter, x0.shape, str(x0.dtype))
+    if key in _MMMG_CACHE:
+        x, norms, it, gnorm0 = _MMMG_CACHE[key][0](x0, b, jnp.asarray(tol, x0.dtype))
+        it = int(float(jnp.asarray(it, jnp.float32)))
+        res = SolverResult(
+            x=np.asarray(x),
+            grad_norm=np.concatenate([[float(gnorm0)], np.asarray(norms)[:it]]),
+            n_iter=it,
+            converged=bool(it < max_iter),
+        )
+        if callback is not None:
+            callback(res)
+        return res
+
     @jax.jit
-    def run(x0, b):
+    def run(x0, b, tol):
         g0 = normal_op(x0) - b
         bnorm = jnp.linalg.norm(b.ravel())
         norms = jnp.zeros((max_iter,), x0.dtype)
@@ -156,8 +194,11 @@ def mmmg(
         x, g, d, it, norms = jax.lax.while_loop(cond, body, state)
         return x, norms, it, jnp.linalg.norm(g0.ravel())
 
-    x, norms, it, gnorm0 = run(x0, b)
-    it = int(it)
+    _MMMG_CACHE[key] = (run, normal_op)
+    x, norms, it, gnorm0 = run(x0, b, jnp.asarray(tol, x0.dtype))
+    # fetch the iteration count as f32 (some TPU runtimes cannot transfer
+    # integer scalars device->host)
+    it = int(float(jnp.asarray(it, jnp.float32)))
     res = SolverResult(
         x=np.asarray(x),
         grad_norm=np.concatenate([[float(gnorm0)], np.asarray(norms)[:it]]),

@@ -103,11 +103,13 @@ class QuadCriterion_MRS:
         self._fwd = fwd
         if hasattr(model_spectro, "adjoint_fn"):
             # hand-optimized exact transpose (e.g. SpectroSigRLSCT.adjoint_fn)
-            adj_fn = model_spectro.adjoint_fn
+            adj_fn = jax.jit(model_spectro.adjoint_fn)
             self._adj = lambda y: (adj_fn(y),)
         else:
             primal = jax.ShapeDtypeStruct(self.shape_of_output, self.dtype)
-            self._adj = build_transpose(fwd, primal)
+            transpose = build_transpose(fwd, primal)
+            tjit = jax.jit(lambda y: transpose(y))
+            self._adj = tjit
 
         if gradient == "joint":
             self._joint = DifferenceOperatorJoint(self.shape_of_output[1:], self.dtype)

@@ -33,10 +33,11 @@ class BandPlan:
     """Static banded-contraction plan for one channel's wpsf [K, W, B]."""
 
     starts: np.ndarray  # int32 [nT] λ-window offset of each λ'-tile's band
-    wpsf_blocked: np.ndarray  # f32 [nT, LB·B, TK] re-based transfer blocks
+    wpsf_blocked: np.ndarray  # f32 [nT, LB·Bp, TK] re-based transfer blocks
     K: int  # true λ' count (output padded to nT·TK then sliced)
     W: int  # λ-window length
     B: int  # β (slit) width
+    Bp: int  # β padded to a sublane multiple (VMEM tiling constraint)
     LB: int  # band length (λ samples per tile)
     TK: int  # λ' tile size
 
@@ -50,14 +51,22 @@ class BandPlan:
         return self.LB / max(self.W, 1)
 
 
-def build_band_plan(wpsf: np.ndarray, tile_k: int = 128, eps: float = 0.0) -> BandPlan:
-    """Analyze the wpsf's λ-support and build the blocked banded form."""
+def build_band_plan(
+    wpsf: np.ndarray, tile_k: int = 128, eps: float = 0.0, rel_eps: float = 0.0
+) -> BandPlan:
+    """Analyze the wpsf's λ-support and build the blocked banded form.
+
+    `eps` is an absolute support threshold; `rel_eps` is relative to the
+    wpsf's global maximum (the sinc² response has algebraic tails that never
+    reach exact zero, so a small relative threshold — e.g. 1e-6 — is what
+    actually creates a band; the truncation error is of the same order)."""
     wpsf = np.asarray(wpsf)
     K, W, B = wpsf.shape
     nT = -(-K // tile_k)
     K_pad = nT * tile_k
 
-    support = np.abs(wpsf).max(axis=2) > eps  # [K, W]
+    thresh = max(eps, rel_eps * float(np.abs(wpsf).max()))
+    support = np.abs(wpsf).max(axis=2) > thresh  # [K, W]
     lo = np.full(K_pad, W, np.int64)
     hi = np.full(K_pad, 0, np.int64)
     any_k = support.any(axis=1)
@@ -76,18 +85,18 @@ def build_band_plan(wpsf: np.ndarray, tile_k: int = 128, eps: float = 0.0) -> Ba
     LB = min(W, -(-LB // 8) * 8)
     starts = np.minimum(starts, max(W - LB, 0))
 
-    blocked = np.zeros((nT, LB * B, tile_k), np.float32)
+    Bp = -(-B // 8) * 8  # β padded to the f32 sublane multiple
+    blocked = np.zeros((nT, LB * Bp, tile_k), np.float32)
     for t in range(nT):
         s = int(starts[t])
         span = min(LB, W - s)
-        block = wpsf[
-            min(t * tile_k, K) : min((t + 1) * tile_k, K), s : s + span, :
-        ]  # [tk, span, B]
-        tk = block.shape[0]
-        blocked[t, : span * B, :tk] = (
-            block.transpose(1, 2, 0).reshape(span * B, tk).astype(np.float32)
+        block = np.zeros((tile_k, span, Bp))
+        blk = wpsf[min(t * tile_k, K) : min((t + 1) * tile_k, K), s : s + span, :]
+        block[: blk.shape[0], :, :B] = blk
+        blocked[t, : span * Bp, :] = (
+            block.transpose(1, 2, 0).reshape(span * Bp, tile_k).astype(np.float32)
         )
-    return BandPlan(starts.astype(np.int32), blocked, K, W, B, LB, tile_k)
+    return BandPlan(starts.astype(np.int32), blocked, K, W, B, Bp, LB, tile_k)
 
 
 def _banded_kernel(starts_ref, arr_ref, w_ref, out_ref, scratch, sem):
@@ -108,7 +117,7 @@ def _banded_kernel(starts_ref, arr_ref, w_ref, out_ref, scratch, sem):
 
 
 def _banded_call(arr, plan: BandPlan, interpret: bool):
-    """arr [W, B, SA] f32 → out [nT·TK, SA] (caller slices to K)."""
+    """arr [W_pad, Bp, SA] f32 → out [nT·TK, SA] (caller slices to K)."""
     W, B, SA = arr.shape
     nT, LBB, TK = plan.wpsf_blocked.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -140,11 +149,12 @@ def wblur_sum_beta_banded(windows, plan: BandPlan, interpret: bool = False):
     """
     S, W, A, B = windows.shape
     assert W == plan.W and B == plan.B
-    # fold slits into the matmul N dimension; pad SA to a lane-friendly size
+    # fold slits into the matmul N dimension; pad β to the sublane multiple
+    # and SA to a lane-friendly size
     arr = jnp.transpose(windows, (1, 3, 0, 2)).reshape(W, B, S * A)
     sa_pad = (-(S * A)) % 128
-    if sa_pad:
-        arr = jnp.pad(arr, ((0, 0), (0, 0), (0, sa_pad)))
+    if sa_pad or plan.Bp != B:
+        arr = jnp.pad(arr, ((0, 0), (0, plan.Bp - B), (0, sa_pad)))
     # pad the λ window so every band slab [start, start+LB) is in range
     w_need = int(plan.starts.max()) + plan.LB
     if w_need > W:
@@ -160,11 +170,13 @@ def wblur_sum_beta_banded_reference(windows, plan: BandPlan):
     nT, LBB, TK = plan.wpsf_blocked.shape
     out = np.zeros((S, nT * TK, A), np.float32)
     arr = np.transpose(np.asarray(windows), (1, 3, 0, 2)).reshape(W, B, S * A)
+    if plan.Bp != B:
+        arr = np.pad(arr, ((0, 0), (0, plan.Bp - B), (0, 0)))
     if int(plan.starts.max()) + plan.LB > W:
         arr = np.pad(arr, ((0, int(plan.starts.max()) + plan.LB - W), (0, 0), (0, 0)))
     for t in range(nT):
         s = int(plan.starts[t])
-        x2d = arr[s : s + plan.LB].reshape(plan.LB * B, S * A)
+        x2d = arr[s : s + plan.LB].reshape(plan.LB * plan.Bp, S * A)
         blk = plan.wpsf_blocked[t].T @ x2d  # [TK, S·A]
         out[:, t * TK : (t + 1) * TK, :] = blk.reshape(TK, S, A).transpose(1, 0, 2)
     return out[:, : plan.K, :]

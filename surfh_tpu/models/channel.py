@@ -54,10 +54,16 @@ class Channel:
         dtype=jnp.float32,
         gridding: str = "bilinear",
         wblur_impl: str = "dense",
+        wblur_band_rtol: float = 0.0,
     ):
         if wblur_impl not in ("dense", "banded"):
             raise ValueError(f"unknown wblur_impl {wblur_impl!r}")
         self.wblur_impl = wblur_impl
+        # support threshold (relative to max) for the banded kernel: the sinc²
+        # response has algebraic tails, so banding truncates ~rtol of the
+        # response mass in exchange for ~W/LB fewer FLOPs/bytes.  0 keeps the
+        # full window (banding then only helps strongly windowed responses).
+        self.wblur_band_rtol = float(wblur_band_rtol)
         self._band_plan = None
         self.alpha_axis = np.asarray(alpha_axis, np.float64)
         self.beta_axis = np.asarray(beta_axis, np.float64)
@@ -213,7 +219,9 @@ class Channel:
         if self._band_plan is None:
             from ..core import wblur_pallas
 
-            self._band_plan = wblur_pallas.build_band_plan(self.wpsf)
+            self._band_plan = wblur_pallas.build_band_plan(
+                self.wpsf, rel_eps=self.wblur_band_rtol
+            )
         return self._band_plan
 
     # ------------------------------------------------------------------

@@ -63,6 +63,7 @@ class SpectroSigRLSCT(LinOp):
         dtype=jnp.float32,
         gridding: str = "bilinear",
         wblur_impl: str = "dense",
+        wblur_band_rtol: float = 0.0,
     ):
         self.sotf = np.asarray(sotf)
         self.alpha_axis = np.asarray(alpha_axis, np.float64)
@@ -98,6 +99,7 @@ class SpectroSigRLSCT(LinOp):
                 dtype=dtype,
                 gridding=gridding,
                 wblur_impl=wblur_impl,
+                wblur_band_rtol=wblur_band_rtol,
             )
             for it, (srf, instr) in enumerate(zip(self.srfs, instrs))
         ]

@@ -75,14 +75,28 @@ def mean_resolution(band: str) -> float:
     return float(np.mean([lo, hi]))
 
 
-def build_ifu(band: str, resolution_scale: float = 1.0) -> IFU:
+def build_ifu(
+    band: str,
+    resolution_scale: float = 1.0,
+    degree: bool = False,
+    centered: bool = False,
+) -> IFU:
     """Build the IFU model of one band.
 
     resolution_scale < 1 produces the scaled-down test instrument family
-    (the reference's `smallmiri`, resolutions ÷ 4).
+    (the reference's `smallmiri`, resolutions ÷ 4).  The bundled tables use
+    the reference miri.py arcsec convention (FOV widths/origins in arcsec,
+    reference miri.py:104-226); `degree=True` converts the FOV to degrees —
+    the convention of the fusion model and the reference's own fusion
+    scripts (scripts/fusion/*.py build FOVs as width/3600).  `centered=True`
+    zeroes the detector-frame origin (fusion pointing is relative).
     """
     band = band.lower()
     aw, bw, oa, ob, angle, pix, n_slit = CHANNEL_GEOMETRY[band[0]]
+    if centered:
+        oa = ob = 0.0
+    if degree:
+        aw, bw, oa, ob = aw / 3600, bw / 3600, oa / 3600, ob / 3600
     return IFU(
         fov=FOV(aw, bw, origin=Coord(oa, ob), angle=angle),
         det_pix_size=pix,
@@ -92,6 +106,15 @@ def build_ifu(band: str, resolution_scale: float = 1.0) -> IFU:
         wavel_axis=mrs_wavel_axis(band),
         name=band.upper(),
     )
+
+
+def fusion_bands(bands=None, resolution_scale: float = 1.0):
+    """Degree-unit centered IFU list ready for the fusion model."""
+    if bands is None:
+        bands = BANDS
+    return [
+        build_ifu(b, resolution_scale, degree=True, centered=True) for b in bands
+    ]
 
 
 def __getattr__(name: str):

@@ -88,7 +88,12 @@ class QuadCriterion_MRS:
         mu_reg: float,
         printing: bool = False,
         gradient: str = "separated",
+        use_fwadj: bool = False,
     ):
+        """`use_fwadj=True` applies HᵗH through the model's fused `fwadj`
+        (e.g. the block-Fourier Hessian of `Model_WCT`) instead of
+        adjoint∘forward — the reference's `hessp=model.fwadj` option
+        (fusion_mixing.py:132-139)."""
         self.mu_spectro = float(mu_spectro)
         self.model = model_spectro
         self.mu_reg = mu_reg
@@ -117,9 +122,15 @@ class QuadCriterion_MRS:
             raise ValueError(f"unknown gradient mode {gradient!r}")
 
         mu_s, mu_r = self.mu_spectro, self.mu_reg
+        if use_fwadj and not hasattr(model_spectro, "fwadj"):
+            raise ValueError("use_fwadj=True requires the model to define fwadj")
+        fwadj = model_spectro.fwadj if use_fwadj else None
 
         def normal_op(x):
-            hthx = self._adj(fwd(x))[0]
+            if fwadj is not None:
+                hthx = fwadj(x)
+            else:
+                hthx = self._adj(fwd(x))[0]
             if gradient == "separated":
                 reg = dtd_separated(x)
             else:

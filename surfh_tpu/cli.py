@@ -73,11 +73,20 @@ def fusion(fusion_data, simulated, npix, n_lambda, channels, pointings,
     if not simulated and fusion_data is None:
         raise click.UsageError("provide --fusion-data DIR or --simulated")
     if not simulated:
-        raise click.UsageError(
-            "real-data fusion requires the corrected-slice pipeline; run the "
-            "preprocessing commands first (see surfh_tpu.preprocessing) — "
-            "simulated mode is self-contained"
+        from .pipeline import run_real_fusion
+
+        bands = sorted(
+            {f.split("_")[0].lower() for f in os.listdir(os.path.join(fusion_data, "Filtered_slices")) if f.endswith(".fits")}
         )
+        logger.info("real-data fusion: bands %s", bands)
+        res, model = run_real_fusion(
+            fusion_data, bands, npix=npix, mu=hyper_parameter, niter=niter,
+            method=method, scale_data=scale_data, output_dir=output_dir,
+            checkpoint_every=checkpoint_every,
+        )
+        click.echo(json.dumps({"method": method, "niter": int(res.n_iter),
+                               "final_grad_norm": float(res.grad_norm[-1])}))
+        return
 
     logger.info("building simulated model: %d² grid, %dλ, %d bands, %d pointings",
                 npix, n_lambda, channels, pointings)

@@ -55,3 +55,7 @@ def wblur_sum_beta_batched(arr, wpsf):
     lhs = wpsf.reshape(k, l * b)
     rhs = arr.transpose(0, 1, 3, 2).reshape(s, l * b, a)
     return jnp.einsum("kz,sza->ska", lhs, rhs, preferred_element_type=arr.dtype)
+
+
+# Reference-name alias (jax_utils.wblur_subSampling, jax_utils.py:72-80).
+wblur_subSampling = wblur_sum_beta

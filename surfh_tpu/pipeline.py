@@ -1,0 +1,182 @@
+"""Real-data fusion pipeline: corrected-slice FITS directory → reconstruction.
+
+Behavioural reference: scripts/main_fusion.py (load_data :30-62,
+initialize_parameters :65-77, load_simulation_data :79-101,
+create_instruments :103-134, create_model :136-157,
+reconstruction_method :162-207).
+
+Expected directory layout (same roles as the reference's fusion dir):
+
+    fusion_dir/
+      Templates/templates.npy        # [n_tpl, Nλ] (NMF output)
+      Templates/wavel_axis.npy       # [Nλ] global cube λ axis
+      PSF/psf.npy                    # [Nλ, h, w] monochromatic PSFs
+      Filtered_slices/*.fits         # corrected+filtered slices, one file
+                                     # per (band, pointing); headers carry
+                                     # PA_V3 / TARG_RA / TARG_DEC / BAND
+
+Slice files store [Nλ_det, n_slit·Nα_det] (the layout written by
+scripts/correct_mrs_data.py, matching the reference writer).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .core.fft import ir2fr
+from .instrument.geometry import Coord, CoordList, get_srf
+from .instrument.ifu import IFU
+from .instrument.geometry import FOV
+from .instrument.realmiri import _CHANNEL_SPECS, GRATING_RES
+from .instrument.spectral import SpectralBlur
+from .instrument.wavelength_mrs import get_mrs_wavelength
+from .preprocessing.fits_io import fits_open
+
+STEP_ARCSEC = 0.025
+
+
+def load_corrected_data(slices_dir: str, bands: Sequence[str]) -> Dict:
+    """Load per-band corrected slices (reference load_data, main_fusion.py:30-62)."""
+    out = {"data": {b: [] for b in bands}, "target": {b: [] for b in bands}, "rotation": {b: 0.0 for b in bands}}
+    for fname in sorted(os.listdir(slices_dir)):
+        if not fname.endswith(".fits"):
+            continue
+        for band in bands:
+            if band not in fname.lower():
+                continue
+            hdus = fits_open(os.path.join(slices_dir, fname))
+            hdr = hdus[0].header
+            data = np.asarray(hdus[0].data)
+            n_lam = len(get_mrs_wavelength(band))
+            n_slit = _CHANNEL_SPECS[int(band[0])][0]
+            ndata = data.reshape(n_lam, n_slit, -1).transpose(1, 0, 2)
+            out["data"][band].append(ndata)
+            out["target"][band].append((float(hdr["TARG_RA"]), float(hdr["TARG_DEC"])))
+            out["rotation"][band] = float(hdr["PA_V3"])
+    return out
+
+
+def create_instruments(data_dict: Dict, bands: Sequence[str]) -> Dict[str, IFU]:
+    """Degree-unit IFUs with the observation position angle
+    (reference create_instruments, main_fusion.py:103-134)."""
+    instruments = {}
+    for band in bands:
+        chan = int(band[0])
+        n_slit, pix, aw, bw, _ = _CHANNEL_SPECS[chan]
+        res = GRATING_RES[(chan - 1) * 3 + "abc".index(band[1])]
+        instruments[band] = IFU(
+            fov=FOV(aw / 3600, bw / 3600, origin=Coord(0, 0), angle=-data_dict["rotation"][band]),
+            det_pix_size=pix,
+            n_slit=n_slit,
+            w_blur=SpectralBlur(res),
+            pce=None,
+            wavel_axis=get_mrs_wavelength(band),
+            name=band.upper(),
+        )
+    return instruments
+
+
+def create_model(
+    sotf,
+    templates,
+    alpha_axis,
+    beta_axis,
+    wavel_axis,
+    instruments: Dict[str, IFU],
+    step_degree: float,
+    data_dict: Dict,
+    ref_band: Optional[str] = None,
+    dtype=None,
+):
+    """Flagship model anchored at the observed pointings
+    (reference create_model, main_fusion.py:136-157)."""
+    import jax.numpy as jnp
+
+    from .models.spectro import SpectroSigRLSCT
+
+    bands = list(instruments.keys())
+    if ref_band is None:
+        ref_band = bands[0]
+    main = Coord(0, 0)
+    pointings = []
+    for band in bands:
+        pts = [main + Coord(ra, dec) for ra, dec in data_dict["target"][band]]
+        pointings.append(CoordList(pts).pix(step_degree))
+    ref_idx = min(2, len(data_dict["target"][ref_band]) - 1)
+    ra0, dec0 = data_dict["target"][ref_band][ref_idx]
+    return SpectroSigRLSCT(
+        sotf=sotf,
+        templates=templates,
+        alpha_axis=np.asarray(alpha_axis) + ra0,
+        beta_axis=np.asarray(beta_axis) + dec0,
+        wavelength_axis=np.asarray(wavel_axis),
+        instrs=[instruments[b] for b in bands],
+        step_degree=step_degree,
+        pointings=pointings,
+        dtype=dtype if dtype is not None else jnp.float32,
+    )
+
+
+def assemble_data_vector(model, data_dict: Dict, bands: Sequence[str]) -> np.ndarray:
+    """Per-band [P, S, λ, α] blocks → the model's flat data layout."""
+    blocks = []
+    for c, band in enumerate(bands):
+        stack = np.stack(data_dict["data"][band])  # [P, S, λ, α]
+        want = model.instrs_oshape[c]
+        if stack.shape != want:
+            raise ValueError(f"band {band}: data shape {stack.shape} != model {want}")
+        blocks.append(np.nan_to_num(stack).ravel())
+    return np.concatenate(blocks)
+
+
+def run_real_fusion(
+    fusion_dir: str,
+    bands: Sequence[str],
+    npix: int = 501,
+    mu: float = 5e3,
+    niter: int = 50,
+    method: str = "lcg",
+    scale_data: bool = False,
+    output_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+):
+    """End-to-end real-data fusion (the reference's flagship entry point)."""
+    from .solvers.checkpoint import run_checkpointed
+    from .solvers.criterion import QuadCriterion_MRS
+
+    step_degree = STEP_ARCSEC / 3600.0
+    tpl_dir = os.path.join(fusion_dir, "Templates")
+    templates = np.load(os.path.join(tpl_dir, "templates.npy"))
+    wavel_axis = np.load(os.path.join(tpl_dir, "wavel_axis.npy"))
+    spsf = np.load(os.path.join(fusion_dir, "PSF", "psf.npy"))
+
+    alpha_axis = np.arange(npix) * step_degree
+    alpha_axis -= np.mean(alpha_axis)
+    beta_axis = alpha_axis.copy()
+    sotf = ir2fr(spsf, (npix, npix))
+
+    data_dict = load_corrected_data(os.path.join(fusion_dir, "Filtered_slices"), bands)
+    instruments = create_instruments(data_dict, bands)
+    model = create_model(
+        sotf, templates, alpha_axis, beta_axis, wavel_axis, instruments,
+        step_degree, data_dict,
+    )
+    y = assemble_data_vector(model, data_dict, bands)
+    if scale_data:
+        y = model.real_data_janskySR_to_jansky(y)
+
+    crit = QuadCriterion_MRS(1.0, y, model, mu, printing=True)
+    ck = os.path.join(output_dir, "solver_state.npz") if output_dir else None
+    res = run_checkpointed(
+        crit, method=method, niter=niter,
+        checkpoint_path=ck, checkpoint_every=checkpoint_every,
+    )
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        np.save(os.path.join(output_dir, "res_x.npy"), res.x)
+        np.save(os.path.join(output_dir, "res_cube.npy"), np.asarray(model.mapsToCube(res.x)))
+        np.save(os.path.join(output_dir, "criterion.npy"), res.grad_norm)
+    return res, model

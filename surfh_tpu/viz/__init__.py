@@ -81,6 +81,18 @@ def plot_two_cubes(cube_a, wavel_a, cube_b, wavel_b, show: bool = True):
     return fig, slider
 
 
+def plot_concatenated_cubes(cubes_list, wavelength_cubes_list, show: bool = True):
+    """Browse several cubes stitched along λ with one slider
+    (reference cube_vizualisation.py:146-200)."""
+    order = np.argsort([w[0] for w in wavelength_cubes_list])
+    wavel = np.concatenate([np.asarray(wavelength_cubes_list[i]) for i in order])
+    shapes = {tuple(np.shape(cubes_list[i])[1:]) for i in order}
+    if len(shapes) != 1:
+        raise ValueError("cubes must share spatial shape to concatenate")
+    cube = np.concatenate([np.asarray(cubes_list[i]) for i in order], axis=0)
+    return plot_cube(cube, wavel, show=show)
+
+
 def plot_maps(estimated_maps, show: bool = True):
     """Grid of abundance maps (reference plot_maps, cube_vizualisation.py:203)."""
     plt = _plt()

@@ -75,3 +75,30 @@ def test_checkpointed_run_resumes(tmp_path):
     # resuming a finished run must be a no-op returning the stored iterate
     again = run_checkpointed(crit, "lcg", niter=12, checkpoint_path=p, checkpoint_every=4)
     np.testing.assert_array_equal(again.x, seg.x)
+
+
+def test_fusion_config_roundtrip(tmp_path):
+    from surfh_tpu.config import FusionConfig, data_root
+
+    cfg = FusionConfig(bands=["1a"], simulated=True)
+    cfg.solver.niter = 7
+    p = str(tmp_path / "cfg.json")
+    cfg.to_json(p)
+    back = FusionConfig.from_json(p)
+    assert back.solver.niter == 7 and back.bands == ["1a"] and back.simulated
+    import os
+    os.environ["SURFH_DATA_ROOT"] = "/tmp/xyz"
+    try:
+        assert data_root() == "/tmp/xyz"
+        assert data_root("/a") == "/a"
+    finally:
+        del os.environ["SURFH_DATA_ROOT"]
+
+
+def test_fusion_config_rejects_unknown():
+    import pytest as _pytest
+
+    from surfh_tpu.config import FusionConfig
+
+    with _pytest.raises(ValueError):
+        FusionConfig.from_dict({"bogus": 1})

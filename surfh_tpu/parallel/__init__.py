@@ -1,5 +1,16 @@
-"""Device-mesh sharding of the fusion pipeline (channel-expert SPMD)."""
+"""Device-mesh sharding of the fusion pipeline.
+
+Two SPMD decompositions (the natural parallelisms of the instrument model,
+SURVEY.md §2.6):
+
+* channel-expert (`fusion.ShardedSpectro`): bands → devices, maps
+  replicated, one psum per adjoint — the "ep/dp" axis;
+* λ-axis (`lambda_sharded.LambdaShardedChannel`): the cube's spectral axis
+  → devices, per-plane stages local, one psum in the forward contraction —
+  the sequence-parallel axis for cube-domain models.
+"""
 
 from .fusion import ShardedSpectro, make_mesh
+from .lambda_sharded import LambdaShardedChannel
 
-__all__ = ["ShardedSpectro", "make_mesh"]
+__all__ = ["LambdaShardedChannel", "ShardedSpectro", "make_mesh"]

@@ -185,6 +185,14 @@ class Channel:
         )
         self.slit_shape = self.slicer.get_slit_shape()
 
+        # --- direct SRF box-sum ------------------------------------------
+        # `otf_combined` is the transfer function of "sum srf consecutive α
+        # rows, half-SRF-shifted": away from circular-wrap edges that's a
+        # plain reshape-sum, removing one FFT pair per pointing in the
+        # forward AND the adjoint.  Calibrate the row offset once and verify
+        # exactness; fall back to the FFT path when windows touch the edges.
+        self._box_offset = self._calibrate_box_offset()
+
         self._forward_jit = jax.jit(self._forward_fn)
         self._adjoint_jit = None
         self._adjoint_interp_jit = None
@@ -202,6 +210,43 @@ class Channel:
     @property
     def n_wslice(self) -> int:
         return self.wslice.stop - self.wslice.start
+
+    def _calibrate_box_offset(self):
+        """Row offset such that the strided slit windows of the SRF FFT
+        convolution equal a direct reshape-sum of srf consecutive rows.
+        Returns None (→ FFT path) if no in-bounds offset reproduces it."""
+        nla, nlb = self.local_im_shape
+        srf = self.srf
+        n_aout = self.oshape[3]
+        sb = self.slit_shape[2]
+        a0 = int(self.slit_a_starts[0])
+        b0 = int(self.slit_b_starts[0])
+        rng = np.random.default_rng(0)
+        g = rng.standard_normal((2, nla, nlb))
+        otf = self._otf_sr * self.decalf  # complex128
+        summed = np.fft.irfftn(
+            np.fft.rfftn(g, axes=(-2, -1), norm="ortho") * otf,
+            s=(nla, nlb),
+            axes=(-2, -1),
+            norm="ortho",
+        )
+        ref = summed[:, a0 : a0 + n_aout * srf : srf, b0 : b0 + sb]
+        for off in range(-2 * srf, 2 * srf + 1):
+            start = a0 + off
+            if start < 0 or start + n_aout * srf > nla:
+                continue
+            direct = (
+                g[:, start : start + n_aout * srf, b0 : b0 + sb]
+                .reshape(2, n_aout, srf, sb)
+                .sum(axis=2)
+            )
+            if np.allclose(direct, ref, rtol=1e-9, atol=1e-9):
+                if all(
+                    0 <= int(a) + off and int(a) + off + n_aout * srf <= nla
+                    for a in self.slit_a_starts
+                ):
+                    return off
+        return None
 
     def _build_wpsf(self, kind: str) -> np.ndarray:
         """wpsf [λ_det, λ_window, β_slit] (reference spectroModelChannel.py:133-155)."""
@@ -251,20 +296,32 @@ class Channel:
 
             plan = self.band_plan()
             interpret = _jax.default_backend() == "cpu"
+        off = self._box_offset
         per_pointing = []
         for idx, w in self._plans_fwd_dev:
             gridded = bilinear.apply_plan(idx, w, xw).reshape(xw.shape[0], nla, nlb)
-            summed = fft.idft(fft.dft(gridded) * self.otf_combined, (nla, nlb))
-            windows = jnp.stack(
-                [
-                    summed[
-                        :,
-                        a0 : a0 + n_aout * srf : srf,
-                        b0 : b0 + sb,
+            if off is not None:
+                # direct SRF box-sum: slice srf·n_aout rows per slit, fold
+                # the srf axis by reshape and sum — no FFT pair needed
+                W_ = xw.shape[0]
+                windows = jnp.stack(
+                    [
+                        gridded[:, a0 + off : a0 + off + n_aout * srf, b0 : b0 + sb]
+                        for a0, b0 in zip(self.slit_a_starts, self.slit_b_starts)
                     ]
-                    for a0, b0 in zip(self.slit_a_starts, self.slit_b_starts)
-                ]
-            )
+                ).reshape(-1, W_, n_aout, srf, sb).sum(axis=3)
+            else:
+                summed = fft.idft(fft.dft(gridded) * self.otf_combined, (nla, nlb))
+                windows = jnp.stack(
+                    [
+                        summed[
+                            :,
+                            a0 : a0 + n_aout * srf : srf,
+                            b0 : b0 + sb,
+                        ]
+                        for a0, b0 in zip(self.slit_a_starts, self.slit_b_starts)
+                    ]
+                )
             windows = windows * self.slit_weights_sub[:, jnp.newaxis, :, :]
             if banded:
                 per_pointing.append(
@@ -338,27 +395,42 @@ class Channel:
             ).reshape(S, n_aout, W, sb)
             win_t = jnp.transpose(win_t, (0, 2, 1, 3))
             win_t = win_t * self.slit_weights_sub[:, jnp.newaxis, :, :]
-            # α-upsample as a pad (stride becomes a reshaped axis — much
-            # faster than strided scatter on TPU), then contiguous block adds
-            up = jnp.zeros((S, W, n_aout, srf, sb), y.dtype)
-            up = up.at[:, :, :, 0, :].set(win_t).reshape(S, W, n_aout * srf, sb)
-            # α padded so the contiguous blocks never clip (the strided
-            # forward read stops inside the grid; ceil(sa/srf)·srf may not)
-            nla_pad = max(
-                nla,
-                max(int(a0) + n_aout * srf for a0 in self.slit_a_starts),
-            )
-            summed_t = jnp.zeros((W, nla_pad, nlb), y.dtype)
-            for s, (a0, b0) in enumerate(
-                zip(self.slit_a_starts, self.slit_b_starts)
-            ):
-                summed_t = summed_t.at[
-                    :, a0 : a0 + n_aout * srf, b0 : b0 + sb
-                ].add(up[s])
-            summed_t = summed_t[:, :nla, :]
-            gridded_t = fft.idft(
-                fft.dft(summed_t) * jnp.conj(self.otf_combined), (nla, nlb)
-            )
+            off = self._box_offset
+            if off is not None:
+                # transpose of the direct box-sum: broadcast each window row
+                # over its srf source rows, contiguous block adds, no FFT
+                up = jnp.broadcast_to(
+                    win_t[:, :, :, jnp.newaxis, :], (S, W, n_aout, srf, sb)
+                ).reshape(S, W, n_aout * srf, sb)
+                gridded_t = jnp.zeros((W, nla, nlb), y.dtype)
+                for s, (a0, b0) in enumerate(
+                    zip(self.slit_a_starts, self.slit_b_starts)
+                ):
+                    gridded_t = gridded_t.at[
+                        :, a0 + off : a0 + off + n_aout * srf, b0 : b0 + sb
+                    ].add(up[s])
+            else:
+                # α-upsample as a pad (stride becomes a reshaped axis), then
+                # contiguous block adds and the conjugate SRF convolution
+                up = jnp.zeros((S, W, n_aout, srf, sb), y.dtype)
+                up = up.at[:, :, :, 0, :].set(win_t).reshape(S, W, n_aout * srf, sb)
+                # α padded so the contiguous blocks never clip (the strided
+                # forward read stops inside the grid; ceil(sa/srf)·srf may not)
+                nla_pad = max(
+                    nla,
+                    max(int(a0) + n_aout * srf for a0 in self.slit_a_starts),
+                )
+                summed_t = jnp.zeros((W, nla_pad, nlb), y.dtype)
+                for s, (a0, b0) in enumerate(
+                    zip(self.slit_a_starts, self.slit_b_starts)
+                ):
+                    summed_t = summed_t.at[
+                        :, a0 : a0 + n_aout * srf, b0 : b0 + sb
+                    ].add(up[s])
+                summed_t = summed_t[:, :nla, :]
+                gridded_t = fft.idft(
+                    fft.dft(summed_t) * jnp.conj(self.otf_combined), (nla, nlb)
+                )
             out = out + bilinear.apply_transpose_plan(
                 tplan, gridded_t.reshape(W, -1)
             )

@@ -142,12 +142,16 @@ def run_real_fusion(
     scale_data: bool = False,
     output_dir: Optional[str] = None,
     checkpoint_every: int = 0,
+    step_arcsec: float = STEP_ARCSEC,
 ):
-    """End-to-end real-data fusion (the reference's flagship entry point)."""
+    """End-to-end real-data fusion (the reference's flagship entry point).
+
+    `step_arcsec` is the super-resolution grid step (the reference hardcodes
+    0.025″, main_fusion.py:74)."""
     from .solvers.checkpoint import run_checkpointed
     from .solvers.criterion import QuadCriterion_MRS
 
-    step_degree = STEP_ARCSEC / 3600.0
+    step_degree = step_arcsec / 3600.0
     tpl_dir = os.path.join(fusion_dir, "Templates")
     templates = np.load(os.path.join(tpl_dir, "templates.npy"))
     wavel_axis = np.load(os.path.join(tpl_dir, "wavel_axis.npy"))
@@ -169,6 +173,8 @@ def run_real_fusion(
         y = model.real_data_janskySR_to_jansky(y)
 
     crit = QuadCriterion_MRS(1.0, y, model, mu, printing=True)
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
     ck = os.path.join(output_dir, "solver_state.npz") if output_dir else None
     res = run_checkpointed(
         crit, method=method, niter=niter,

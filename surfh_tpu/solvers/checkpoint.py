@@ -20,6 +20,8 @@ from .cg import SolverResult
 
 def save_checkpoint(path: str, x, n_iter_done: int, grad_norm=None, crit_val=None) -> None:
     tmp = path + ".tmp"
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     with open(tmp, "wb") as fh:
         np.savez(
             fh,

@@ -16,9 +16,24 @@ from surfh_tpu.core.fft import ir2fr
 from surfh_tpu.preprocessing.fits_io import fits_write
 from surfh_tpu.utils.psf import gaussian_psf
 
-BAND = "4a"  # smallest detector grid (12 slits, 542 λ samples)
+BAND = "4a"  # smallest band (12 slits)
 NPIX = 31
 PA_V3 = 12.5
+STEP = 0.1  # coarse grid: keeps the XLA-CPU compile of the adjoint test-sized
+
+
+@pytest.fixture(scope="module", autouse=True)
+def small_band():
+    """Shrink the 4a detector λ grid (542 → 60 samples) so the XLA-CPU
+    compile of the real-data model stays test-sized."""
+    import surfh_tpu.pipeline as pl
+
+    orig = pl.get_mrs_wavelength
+    full = orig(BAND)
+    det = np.linspace(full[0], full[-1], 60)
+    pl.get_mrs_wavelength = lambda b: det
+    yield
+    pl.get_mrs_wavelength = orig
 
 
 @pytest.fixture(scope="module")
@@ -28,13 +43,11 @@ def fusion_dir(tmp_path_factory):
     os.makedirs(root / "PSF")
     os.makedirs(root / "Filtered_slices")
 
-    step_degree = pipeline.STEP_ARCSEC / 3600.0
-    from surfh_tpu.instrument.wavelength_mrs import get_mrs_wavelength
-
-    det_wavel = get_mrs_wavelength(BAND)
+    step_degree = STEP / 3600.0
+    det_wavel = pipeline.get_mrs_wavelength(BAND)
     wavel_axis = np.linspace(det_wavel[0] - 0.05, det_wavel[-1] + 0.05, 60)
     templates = np.vstack([np.ones(60), np.linspace(0.5, 2.0, 60)])
-    spsf = gaussian_psf(wavel_axis, pipeline.STEP_ARCSEC)
+    spsf = gaussian_psf(wavel_axis, STEP)
     c = (spsf.shape[1] - NPIX) // 2
     spsf = spsf[:, c : c + NPIX, c : c + NPIX]
     spsf /= spsf.sum(axis=(1, 2), keepdims=True)
@@ -82,7 +95,7 @@ def test_load_corrected_data(fusion_dir):
 def test_run_real_fusion_reconstructs(fusion_dir):
     res, model = pipeline.run_real_fusion(
         str(fusion_dir), [BAND], npix=NPIX, mu=1.0, niter=15,
-        output_dir=str(fusion_dir / "Results"),
+        output_dir=str(fusion_dir / "Results"), step_arcsec=STEP,
     )
     assert os.path.exists(fusion_dir / "Results" / "res_x.npy")
     assert res.grad_norm[-1] < 0.1 * res.grad_norm[0]

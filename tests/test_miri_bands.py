@@ -48,3 +48,15 @@ def test_two_real_bands_flagship_dottest():
     # ch1a/ch2a share det_pix_size ⇒ the common step equals it (srf = 1)
     assert model.srfs == [1, 1]
     assert dottest(model, num=2, rtol=1e-10)
+
+
+def test_smallmiri_scaled_resolutions():
+    from surfh_tpu.instrument import miri, smallmiri
+
+    small = smallmiri.ch2a
+    full = miri.ch2a
+    assert small.n_slit == full.n_slit
+    assert small.w_blur.grating_resolution == pytest.approx(
+        full.w_blur.grating_resolution / 4
+    )
+    assert len(smallmiri.all_chan) == 12

@@ -1,0 +1,85 @@
+"""End-to-end reconstruction fidelity on an Orion-like simulated scene.
+
+The reference validates by scripts/notebooks comparing reconstructed maps to
+the simulated ground truth (fusion_MCMO_SigRLSCT_simulated.py:245-263,
+metrics helpers).  Here the same loop is an asserted test: synthesize data
+with the flagship model from a smooth abundance scene, reconstruct with CG,
+and require quantitative improvement over both the initialization and a
+short run.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surfh_tpu.simulation.data import synthetic_orion
+from surfh_tpu.simulation.synthetic import make_setup
+from surfh_tpu.solvers.criterion import QuadCriterion_MRS
+from surfh_tpu.utils import metrics
+
+
+@pytest.fixture(scope="module")
+def problem():
+    from surfh_tpu.models.spectro import SpectroSigRLSCT
+
+    setup = make_setup(
+        im_size=61, n_lambda=40, n_tpl=3, n_channels=2, n_pointings=2, n_slit=5
+    )
+    # replace the random maps with a smooth Orion-like scene (the prior
+    # matches smooth scenes, so CG should reconstruct it well)
+    maps, _, _, _ = synthetic_orion(n_maps=3, size=61, n_wavel=16)
+    maps = maps / maps.max()
+    model = SpectroSigRLSCT(
+        setup["sotf"],
+        setup["templates"],
+        setup["alpha_axis"],
+        setup["beta_axis"],
+        setup["wavelength_axis"],
+        setup["instrs"],
+        setup["step_degree"],
+        setup["pointings"],
+        dtype=jnp.float64,
+    )
+    y = np.asarray(model.forward(maps))
+    return model, maps, y
+
+
+def _coverage_mask(model):
+    """Spatial pixels actually observed (nonzero sensitivity): |Hᵗ1| > tol."""
+    ones = np.ones(model.oshape)
+    sens = np.abs(np.asarray(model.adjoint(ones))).sum(axis=0)
+    return sens > 0.05 * sens.max()
+
+
+def test_cg_reconstruction_improves_with_iterations(problem):
+    model, truth, y = problem
+    mask = _coverage_mask(model)
+    crit = QuadCriterion_MRS(1.0, y, model, mu_reg=5.0)
+    short = crit.run_method("lcg", maximum_iterations=5, value_init=0.0)
+    long = crit.run_method("lcg", maximum_iterations=80, value_init=0.0)
+    # fidelity is only meaningful inside the observed FOV: the maps outside
+    # coverage are set by the prior alone
+    err_short = metrics.relative_error(truth[:, mask], short.x[:, mask])
+    err_long = metrics.relative_error(truth[:, mask], long.x[:, mask])
+    assert err_long < err_short
+    assert err_long < 15.0  # percent
+
+
+def test_criterion_value_decreases(problem):
+    model, truth, y = problem
+    crit = QuadCriterion_MRS(1.0, y, model, mu_reg=5.0)
+    r1 = crit.run_method("lcg", maximum_iterations=3, value_init=0.0, calc_crit=True)
+    r2 = crit.run_method("lcg", maximum_iterations=40, value_init=0.0, calc_crit=True)
+    assert crit.get_crit_val(r2.x) < crit.get_crit_val(r1.x)
+
+
+def test_mmmg_agrees_with_lcg(problem):
+    model, truth, y = problem
+    crit = QuadCriterion_MRS(1.0, y, model, mu_reg=5.0)
+    a = crit.run_method("lcg", maximum_iterations=60, value_init=0.0)
+    b = crit.run_method("mmmg", maximum_iterations=120, value_init=0.0)
+    # both minimize the same strictly convex quadratic; the memory-gradient
+    # converges more slowly, so compare criterion values, not iterates
+    ja, jb = crit.get_crit_val(a.x), crit.get_crit_val(b.x)
+    j0 = crit.get_crit_val(np.zeros(model.ishape))
+    assert (jb - ja) / (j0 - ja) < 0.02

@@ -61,6 +61,127 @@ def load_reference_instru():
     return mod
 
 
+def load_reference_channel(ref_instru):
+    """Import the reference Channel (spectroModelChannel.py) with stubs for
+    its compiled/absent dependencies, for output-parity tests.
+
+    Stubs: `udft` → our fft helpers; `cython_utils` → scipy bilinear
+    interpolation with the same clamped-extrapolation / zero-fill semantics;
+    `slicer_new` (absent from the snapshot) → the in-tree reference slicer;
+    `aljabr`, `astropy` → minimal shims.
+    """
+    if ref_instru is None:
+        return None
+    import importlib.util
+
+    import numpy as np
+    from scipy.interpolate import RegularGridInterpolator
+
+    import surfh_tpu.core.fft as _fft
+
+    _stub("udft", ir2fr=_fft.ir2fr, laplacian=_fft.laplacian)
+
+    # astropy shim (only Angle(x, arcsec).degree is ever used)
+    class _Angle:
+        def __init__(self, value, unit=None):
+            self.value = value
+
+        @property
+        def degree(self):
+            return self.value / 3600.0
+
+    units = _stub("astropy.units", arcsec="arcsec", deg="deg")
+    coords = _stub("astropy.coordinates", Angle=_Angle)
+    astropy = _stub("astropy", units=units, coordinates=coords)
+
+    class _LinOp:
+        def __init__(self, *args, ishape=None, oshape=None, **kwargs):
+            if ishape is None and len(args) >= 1:
+                ishape = args[0]
+            if oshape is None and len(args) >= 2:
+                oshape = args[1]
+            self.ishape = tuple(ishape) if ishape is not None else None
+            self.oshape = tuple(oshape) if oshape is not None else None
+
+    _stub("aljabr", LinOp=_LinOp, dottest=lambda *a, **k: True)
+    _stub("aljabr.linop", Shape=tuple)
+
+    # scipy twins of the compiled interpolation entry points
+    def interpn_cube2local(wavel_index, alpha_axis, beta_axis, cube, coords, shape):
+        rgi = RegularGridInterpolator(
+            (alpha_axis, beta_axis),
+            np.transpose(cube, (1, 2, 0)),
+            method="linear",
+            bounds_error=False,
+            fill_value=None,  # clamped linear extrapolation
+        )
+        return rgi(coords).T.reshape(shape)
+
+    def interpn_local2cube(wavel_index, la, lb, cube, coords, shape):
+        rgi = RegularGridInterpolator(
+            (la, lb),
+            np.transpose(cube, (1, 2, 0)),
+            method="linear",
+            bounds_error=False,
+            fill_value=0.0,
+        )
+        return rgi(coords).T.reshape(shape)
+
+    surfh_pkg = _stub("surfh")
+    models_pkg = _stub("surfh.Models", instru=ref_instru)
+    surfh_pkg.Models = models_pkg
+    sys.modules["surfh.Models.instru"] = ref_instru
+
+    ref_slicer = load_reference_slicer(ref_instru)
+    sys.modules["surfh.Models.slicer_new"] = ref_slicer
+    models_pkg.slicer_new = ref_slicer
+
+    tools = _stub("surfh.ToolsDir")
+    surfh_pkg.ToolsDir = tools
+    cy = _stub(
+        "surfh.ToolsDir.cython_utils",
+        interpn_cube2local=interpn_cube2local,
+        interpn_local2cube=interpn_local2cube,
+    )
+    tools.cython_utils = cy
+    for name in ("jax_utils", "python_utils", "utils", "nearest_neighbor_interpolation"):
+        path = os.path.join(REFERENCE, "surfh", "ToolsDir", f"{name}.py")
+        spec = importlib.util.spec_from_file_location(f"surfh.ToolsDir.{name}", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"surfh.ToolsDir.{name}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(tools, name, mod)
+
+    path = os.path.join(REFERENCE, "surfh", "Models", "spectroModelChannel.py")
+    spec = importlib.util.spec_from_file_location("ref_channel", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_reference_spectro(ref_instru):
+    """Import the reference flagship `spectroModel.py` with stubs: the
+    missing `MCMO_SigRLSCT_Channel_Model` is its in-tree twin
+    `spectroModelChannel` (verified signature-identical, SURVEY.md), and the
+    unused-on-path numba `matrix_op` is an empty module."""
+    ref_channel = load_reference_channel(ref_instru)
+    if ref_channel is None:
+        return None
+    import importlib.util
+
+    tools = sys.modules["surfh.ToolsDir"]
+    tools.matrix_op = _stub("surfh.ToolsDir.matrix_op")
+    dt = _stub("surfh.DottestModels", MCMO_SigRLSCT_Channel_Model=ref_channel)
+    sys.modules["surfh.DottestModels.MCMO_SigRLSCT_Channel_Model"] = ref_channel
+    sys.modules["surfh"].DottestModels = dt
+
+    path = os.path.join(REFERENCE, "surfh", "Models", "spectroModel.py")
+    spec = importlib.util.spec_from_file_location("ref_spectro", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_reference_slicer(ref_instru):
     """Import the reference Slicer against the stubbed instru module."""
     if ref_instru is None:

@@ -182,6 +182,20 @@ def load_reference_spectro(ref_instru):
     return mod
 
 
+def load_reference_blind(ref_instru):
+    """Import the reference 2-D blind models (spectro_blind.py) — same stub
+    set as the flagship."""
+    if load_reference_spectro(ref_instru) is None:
+        return None
+    import importlib.util
+
+    path = os.path.join(REFERENCE, "surfh", "Models", "spectro_blind.py")
+    spec = importlib.util.spec_from_file_location("ref_blind", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_reference_slicer(ref_instru):
     """Import the reference Slicer against the stubbed instru module."""
     if ref_instru is None:

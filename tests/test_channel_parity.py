@@ -153,3 +153,54 @@ def test_flagship_forward_parity():
     y_ours = np.asarray(ours.forward(maps))
     scale = np.abs(y_ref).max()
     np.testing.assert_allclose(y_ours, y_ref, rtol=0, atol=2e-3 * scale)
+
+
+def test_blind2d_forward_parity():
+    """Our MRSBlurred (2-D single-λ) matches the reference spectro_blind
+    forward (spectro_blind.py:191-207)."""
+    from surfh_tpu.core.fft import ir2fr
+    from surfh_tpu.models.blind2d import MRSBlurred
+    from surfh_tpu.simulation.synthetic import make_setup
+
+    ref_instru = rh.load_reference_instru()
+    ref_blind = rh.load_reference_blind(ref_instru)
+    if ref_blind is None:
+        pytest.skip("reference blind model not importable")
+
+    fx = make_setup(im_size=45, n_lambda=8, n_tpl=2, n_channels=1, n_pointings=2, n_slit=5)
+    ours_ifu = fx["instrs"][0]
+    step = fx["step_degree"]
+    psf0 = fx["spsf"][0]
+    sotf = ir2fr(psf0, fx["im_shape"])
+
+    ref_ifu = ref_instru.IFU(
+        fov=ref_instru.FOV(
+            ours_ifu.fov.alpha_width, ours_ifu.fov.beta_width,
+            origin=ref_instru.Coord(0, 0), angle=ours_ifu.fov.angle,
+        ),
+        det_pix_size=ours_ifu.det_pix_size,
+        n_slit=ours_ifu.n_slit,
+        w_blur=None,
+        pce=None,
+        wavel_axis=np.asarray(ours_ifu.wavel_axis),
+        name="2A",
+    )
+    ref_pts = ref_instru.CoordList(
+        [ref_instru.Coord(p.alpha, p.beta) for p in fx["pointings"][0]]
+    ).pix(step)
+    ref_model = ref_blind.MRSBlurred(
+        sotf, fx["alpha_axis"], fx["beta_axis"], ref_ifu, step, ref_pts
+    )
+    import jax.numpy as jnp
+
+    ours = MRSBlurred(
+        sotf, fx["alpha_axis"], fx["beta_axis"], ours_ifu, step,
+        fx["pointings"][0], dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(fx["im_shape"])
+    y_ref = np.asarray(ref_model.forward(x)).ravel()
+    y_ours = np.asarray(ours.forward(x)).ravel()
+    assert y_ours.shape == y_ref.shape
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y_ours, y_ref, rtol=0, atol=2e-3 * scale)

@@ -93,3 +93,13 @@ def test_graft_entry_hooks():
     out = jax.jit(fn)(*args)
     assert out.ndim == 1 and np.isfinite(np.asarray(out)).all()
     g.dryrun_multichip(len(jax.devices()))
+
+
+def test_graft_dryrun_non_divisor_mesh():
+    """Driver may probe mesh sizes that don't divide the channel count."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(5)

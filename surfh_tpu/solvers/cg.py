@@ -27,6 +27,7 @@ class SolverResult:
     n_iter: int
     converged: bool
     crit_val: Optional[np.ndarray] = None  # per-iteration criterion (optional)
+    state: Optional[tuple] = None  # full solver state (x, r, z, p, rz) for exact resume
 
 
 def _as_tuple(x):
@@ -41,19 +42,23 @@ _LCG_CACHE: dict = {}
 _MMMG_CACHE: dict = {}
 
 
-def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str):
-    key = (id(normal_op), id(M), max_iter, shape, dtype_str)
+def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str, fresh: bool):
+    key = (id(normal_op), id(M), max_iter, shape, dtype_str, fresh)
     if key in _LCG_CACHE:
         return _LCG_CACHE[key][0]
 
     prec = M if M is not None else (lambda r: r)
 
     @jax.jit
-    def run(x0, b, tol):
-        r0 = b - normal_op(x0)
-        z0 = prec(r0)
-        p0 = z0
-        rz0 = jnp.vdot(r0, z0).real
+    def run(init, b, tol):
+        if fresh:  # init is x0
+            x0 = init
+            r0 = b - normal_op(x0)
+            z0 = prec(r0)
+            p0 = z0
+            rz0 = jnp.vdot(r0, z0).real
+        else:  # init is a full CG state (exact resume, conjugacy preserved)
+            x0, r0, z0, p0, rz0 = init
         gnorm0 = jnp.linalg.norm(r0.ravel())
         bnorm = jnp.linalg.norm(b.ravel())
         norms = jnp.zeros((max_iter,), x0.dtype)
@@ -79,7 +84,7 @@ def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str):
 
         state = (x0, r0, z0, p0, rz0, jnp.asarray(0), norms)
         x, r, z, p, rz, it, norms = jax.lax.while_loop(cond, body, state)
-        return x, norms, it, gnorm0
+        return x, norms, it, gnorm0, (x, r, z, p, rz)
 
     # hold strong refs to the keyed callables so ids stay valid
     _LCG_CACHE[key] = (run, normal_op, M)
@@ -94,19 +99,29 @@ def lcg(
     tol: float = 1e-12,
     precond: Optional[Callable] = None,
     callback: Optional[Callable] = None,
+    state=None,
+    return_state: bool = False,
 ) -> SolverResult:
     """Linear CG for Q x = b with Q = `normal_op` (SPD).
 
     `tol` matches the qmm convention: stop when ‖∇J‖ = ‖Qx − b‖ ≤ tol·‖b‖.
     The loop runs entirely under jit; per-iteration gradient norms are
     accumulated on device and returned for telemetry.
+
+    Pass `state` (a `SolverResult.state` from a previous run, the tuple
+    (x, r, z, p, rz)) to resume EXACTLY — conjugate directions preserved, as
+    if the solve had never been interrupted.  `return_state=True` attaches
+    the final state to the result (the reference only supports warm
+    restarts via `value_init`, fusion_CT.py:122-127, which reset conjugacy).
     """
     x0 = jnp.asarray(x0)
     b = jnp.asarray(b, x0.dtype)
 
     M = precond if precond is not None else None
-    run = _lcg_compiled(normal_op, M, max_iter, x0.shape, str(x0.dtype))
-    x, norms, it, gnorm0 = run(x0, b, jnp.asarray(tol, x0.dtype))
+    fresh = state is None
+    run = _lcg_compiled(normal_op, M, max_iter, x0.shape, str(x0.dtype), fresh)
+    init = x0 if fresh else tuple(jnp.asarray(s) for s in state)
+    x, norms, it, gnorm0, final_state = run(init, b, jnp.asarray(tol, x0.dtype))
     # fetch the iteration count as f32 (some TPU runtimes cannot transfer
     # integer scalars device->host)
     it = int(float(jnp.asarray(it, jnp.float32)))
@@ -117,6 +132,8 @@ def lcg(
         n_iter=it,
         converged=bool(it < max_iter),
     )
+    if return_state:
+        res.state = tuple(np.asarray(s) for s in final_state)
     if callback is not None:
         callback(res)
     return res

@@ -155,19 +155,26 @@ class QuadCriterion_MRS:
         calc_crit: bool = False,
         perf_crit=None,
         value_init: Union[float, np.ndarray] = 0.5,
+        solver_state=None,
+        return_state: bool = False,
     ) -> SolverResult:
         if isinstance(value_init, (int, float)):
             init = jnp.full(self.shape_of_output, value_init, self.dtype)
         else:
             init = jnp.asarray(value_init, self.dtype).reshape(self.shape_of_output)
 
-        solver = lcg if method == "lcg" else mmmg
         import time
 
         t0 = time.perf_counter()
-        res = solver(
-            self.normal_op, self.b, init, max_iter=maximum_iterations, tol=tolerance
-        )
+        if method == "lcg":
+            res = lcg(
+                self.normal_op, self.b, init, max_iter=maximum_iterations,
+                tol=tolerance, state=solver_state, return_state=return_state,
+            )
+        else:
+            res = mmmg(
+                self.normal_op, self.b, init, max_iter=maximum_iterations, tol=tolerance
+            )
         if self.printing:
             print(f"Total time needed for {method}: {time.perf_counter() - t0:.3f}s")
         if calc_crit:

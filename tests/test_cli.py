@@ -67,9 +67,8 @@ def test_checkpointed_run_resumes(tmp_path):
 
     p = str(tmp_path / "cg.npz")
     seg = run_checkpointed(crit, "lcg", niter=12, checkpoint_path=p, checkpoint_every=4)
-    # warm-started CG restarts are not bit-identical but must reach a
-    # comparable residual
-    assert seg.grad_norm[-1] <= straight.grad_norm[0]
+    # full CG state is carried across segments: identical to the straight run
+    np.testing.assert_allclose(seg.x, straight.x, rtol=1e-10, atol=1e-12)
     assert seg.n_iter == 12
 
     # resuming a finished run must be a no-op returning the stored iterate

@@ -59,8 +59,6 @@ def fusion(fusion_data, simulated, npix, n_lambda, channels, pointings,
            hyper_parameter, niter, n_templates, scale_data, method,
            noise_snr, sharded, checkpoint_every, output_dir, verbose):
     """Multi-channel multi-observation LMM fusion (the flagship run)."""
-    import jax.numpy as jnp
-
     from .simulation.synthetic import make_model
     from .solvers.checkpoint import run_checkpointed
     from .solvers.criterion import QuadCriterion_MRS
@@ -146,8 +144,6 @@ def fusion(fusion_data, simulated, npix, n_lambda, channels, pointings,
 def deconv2d(npix, hyper_parameter, niter, rectangle, output_dir):
     """Single-wavelength 2-D MRS deconvolution (the minimum end-to-end slice,
     reference scripts/deconvolution_mrs_single_wavelength.py)."""
-    import jax.numpy as jnp
-
     from .core.fft import ir2fr
     from .models.blind2d import MRSBlurred, MRSBlurredRectangle
     from .simulation.synthetic import make_setup

@@ -22,12 +22,12 @@ scripts/correct_mrs_data.py, matching the reference writer).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
 from .core.fft import ir2fr
-from .instrument.geometry import Coord, CoordList, get_srf
+from .instrument.geometry import Coord, CoordList
 from .instrument.ifu import IFU
 from .instrument.geometry import FOV
 from .instrument.realmiri import _CHANNEL_SPECS, GRATING_RES

@@ -11,7 +11,7 @@ fused jitted function; solving uses :func:`surfh_tpu.solvers.cg.lcg` /
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -164,6 +164,120 @@ def wblur_sum_beta_banded(windows, plan: BandPlan, interpret: bool = False):
     return jnp.transpose(out, (1, 0, 2))
 
 
+@dataclass(frozen=True)
+class BandPlanT:
+    """Banded plan for the adjoint direction (λ'-support per λ-tile)."""
+
+    starts: np.ndarray  # int32 [nT] λ' offset of each λ-tile's band
+    wpsf_blocked: np.ndarray  # f32 [nT, TL·Bp, KB]
+    K: int
+    W: int
+    B: int
+    Bp: int
+    TL: int  # λ rows per tile
+    KB: int  # λ' band length
+
+
+def build_band_plan_t(
+    wpsf: np.ndarray, eps: float = 0.0, rel_eps: float = 0.0
+) -> BandPlanT:
+    """Blocked banded form of the transpose contraction
+    out[l,b,·] = Σ_k wpsf[k,l,b]·y[k,·]."""
+    wpsf = np.asarray(wpsf)
+    K, W, B = wpsf.shape
+    Bp = -(-B // 8) * 8
+    TL = max(1, 128 // Bp)
+    nT = -(-W // TL)
+
+    thresh = max(eps, rel_eps * float(np.abs(wpsf).max()))
+    support = np.abs(wpsf).max(axis=2) > thresh  # [K, W]
+    lo = np.full(W, K, np.int64)
+    hi = np.full(W, 0, np.int64)
+    any_l = support.any(axis=0)
+    lo[any_l] = support.argmax(axis=0)[any_l]
+    hi[any_l] = K - support[::-1, :].argmax(axis=0)[any_l]
+
+    starts = np.zeros(nT, np.int64)
+    KB = 8
+    for t in range(nT):
+        ls = slice(t * TL, min((t + 1) * TL, W))
+        s = int(lo[ls].min()) if (lo[ls] < K).any() else 0
+        e = int(hi[ls].max())
+        starts[t] = min(s, max(K - 1, 0))
+        KB = max(KB, e - s)
+    # KB is the last dim of the blocked transfer (lane axis): 128-align it
+    KB = -(-KB // 128) * 128
+    starts = np.minimum(starts, max(K - KB, 0))
+    starts = np.maximum(starts, 0)
+
+    blocked = np.zeros((nT, TL * Bp, KB), np.float32)
+    for t in range(nT):
+        s = int(starts[t])
+        span = min(KB, K - s)
+        ls = slice(t * TL, min((t + 1) * TL, W))
+        blk = wpsf[s : s + span, ls, :]  # [span, tl, B]
+        tl = blk.shape[1]
+        tmp = np.zeros((TL, Bp, span))
+        tmp[:tl, :B, :] = blk.transpose(1, 2, 0)
+        blocked[t, :, :span] = tmp.reshape(TL * Bp, span).astype(np.float32)
+    return BandPlanT(starts.astype(np.int32), blocked, K, W, B, Bp, TL, KB)
+
+
+def _banded_kernel_2d(starts_ref, arr_ref, w_ref, out_ref, scratch, sem):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        arr_ref.at[pl.ds(starts_ref[i], scratch.shape[0])], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    out_ref[:] = jax.lax.dot_general(
+        w_ref[0],
+        scratch[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def wblur_sum_beta_t_banded(y, plan: BandPlanT, interpret: bool = False):
+    """Banded Pallas transpose of `wblur_sum_beta_batched`.
+
+    y: [S, K, A] detector blocks → out [S, W, A, B]
+    (out[s,l,a,b] = Σ_k y[s,k,a]·wpsf[k,l,b])."""
+    S, K, A = y.shape
+    assert K == plan.K
+    y2d = jnp.transpose(y, (1, 0, 2)).reshape(K, S * A)
+    sa_pad = (-(S * A)) % 128
+    if sa_pad:
+        y2d = jnp.pad(y2d, ((0, 0), (0, sa_pad)))
+    k_need = int(plan.starts.max()) + plan.KB
+    if k_need > K:
+        y2d = jnp.pad(y2d, ((0, k_need - K), (0, 0)))
+    SA = y2d.shape[1]
+    nT, M, KB = plan.wpsf_blocked.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nT,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, M, KB), lambda i, starts: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((M, SA), lambda i, starts: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((plan.KB, SA), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        _banded_kernel_2d,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nT * M, SA), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(plan.starts), y2d.astype(jnp.float32), jnp.asarray(plan.wpsf_blocked))
+    out = out.reshape(nT * plan.TL, plan.Bp, SA)[: plan.W, : plan.B, : S * A]
+    out = out.reshape(plan.W, plan.B, S, A)
+    return jnp.transpose(out, (2, 0, 3, 1))
+
+
 def wblur_sum_beta_banded_reference(windows, plan: BandPlan):
     """NumPy check implementation of the banded contraction (tests)."""
     S, W, A, B = np.shape(windows)

@@ -269,6 +269,16 @@ class Channel:
             )
         return self._band_plan
 
+    def band_plan_t(self):
+        """Banded plan of the transpose contraction (built lazily)."""
+        if getattr(self, "_band_plan_t", None) is None:
+            from ..core import wblur_pallas
+
+            self._band_plan_t = wblur_pallas.build_band_plan_t(
+                self.wpsf, rel_eps=self.wblur_band_rtol
+            )
+        return self._band_plan_t
+
     # ------------------------------------------------------------------
     # pure forward pipeline (works on the windowed cube [W, Na, Nb])
     def _forward_windowed(self, xw, wpsf):
@@ -382,18 +392,31 @@ class Channel:
         wpsf = self._wpsf_dev
         K = wpsf.shape[0]
         S = self.oshape[1]
+        banded = self.wblur_impl == "banded"
+        if banded:
+            import jax as _jax
+
+            from ..core import wblur_pallas
+
+            plan_t = self.band_plan_t()
+            interpret = _jax.default_backend() == "cpu"
         # one explicit MXU matmul [S·A, K] @ [K, W·B] (an einsum spelling of
         # the same contraction can land on the VPU with a bad layout)
         wp2d = wpsf.reshape(K, W * sb)
         out = jnp.zeros((W,) + self.imshape, y.dtype)
         for p_idx, tplan in enumerate(self._tplans_fwd):
             # transpose of wblur_sum_beta, all slits at once
-            y2d = jnp.transpose(y[p_idx], (0, 2, 1)).reshape(S * n_aout, K)
-            win_t = jax.lax.dot_general(
-                y2d, wp2d, (((1,), (0,)), ((), ())),
-                preferred_element_type=y.dtype,
-            ).reshape(S, n_aout, W, sb)
-            win_t = jnp.transpose(win_t, (0, 2, 1, 3))
+            if banded:
+                win_t = wblur_pallas.wblur_sum_beta_t_banded(
+                    y[p_idx], plan_t, interpret=interpret
+                ).astype(y.dtype)
+            else:
+                y2d = jnp.transpose(y[p_idx], (0, 2, 1)).reshape(S * n_aout, K)
+                win_t = jax.lax.dot_general(
+                    y2d, wp2d, (((1,), (0,)), ((), ())),
+                    preferred_element_type=y.dtype,
+                ).reshape(S, n_aout, W, sb)
+                win_t = jnp.transpose(win_t, (0, 2, 1, 3))
             win_t = win_t * self.slit_weights_sub[:, jnp.newaxis, :, :]
             off = self._box_offset
             if off is not None:

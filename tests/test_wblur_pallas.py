@@ -73,3 +73,26 @@ def test_flagship_banded_forward_matches_dense():
     lhs = np.vdot(y_banded, yr)
     rhs = np.vdot(setup["maps"].astype(np.float32), np.asarray(banded_model.adjoint(yr)))
     assert abs(lhs - rhs) / abs(lhs) < 1e-3
+
+
+def test_banded_adjoint_matches_dense_interpret():
+    from surfh_tpu.core.wblur_pallas import build_band_plan_t, wblur_sum_beta_t_banded
+
+    rng = np.random.default_rng(1)
+    wpsf = _banded_wpsf()
+    plan_t = build_band_plan_t(wpsf)
+    y = rng.standard_normal((4, 200, 9)).astype(np.float32)
+    dense = np.einsum("ska,klb->slab", y, wpsf).astype(np.float32)
+    out = np.asarray(wblur_sum_beta_t_banded(jnp.asarray(y), plan_t, interpret=True))
+    np.testing.assert_allclose(out, dense, atol=2e-4)
+
+
+def test_flagship_banded_adjoint_matches_dense():
+    kw = dict(im_size=31, n_lambda=24, n_tpl=3, n_channels=2, n_pointings=2, n_slit=3)
+    dense_model, setup = make_model(**kw)
+    banded_model, _ = make_model(**kw, wblur_impl="banded")
+    rng = np.random.default_rng(2)
+    y = rng.standard_normal(dense_model.oshape).astype(np.float32)
+    a_dense = np.asarray(dense_model.adjoint(y))
+    a_banded = np.asarray(banded_model.adjoint(y))
+    np.testing.assert_allclose(a_banded, a_dense, rtol=1e-4, atol=2e-4 * np.abs(a_dense).max())

@@ -12,5 +12,12 @@ SURVEY.md §2.6):
 
 from .fusion import ShardedSpectro, make_mesh
 from .lambda_sharded import LambdaShardedChannel
+from .mesh2d import ShardedSpectro2D, make_mesh_2d
 
-__all__ = ["LambdaShardedChannel", "ShardedSpectro", "make_mesh"]
+__all__ = [
+    "LambdaShardedChannel",
+    "ShardedSpectro",
+    "ShardedSpectro2D",
+    "make_mesh",
+    "make_mesh_2d",
+]

@@ -1,0 +1,257 @@
+"""2-D mesh sharding: channel-expert × λ-axis, composed.
+
+For pod-scale runs the two natural decompositions compose: bands spread
+over the mesh's "chan" axis (each group replicates the maps and owns its
+bands' data blocks) and, within each band, the λ-window spreads over the
+"lam" axis (each device computes T and C only on its *slice of the
+window*, then contributes a partial spectral contraction).
+
+Communication per application:
+* forward:  one `psum` over "lam" (partial detector contractions);
+* adjoint:  one `psum` over "chan" ∪ "lam" (maps contributions) — a single
+  all-reduce of the small n_tpl×N² maps array over the whole mesh.
+"""
+
+from __future__ import annotations
+
+from math import ceil
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import bilinear, fft, lmm
+
+
+def make_mesh_2d(n_chan: int, n_lam: int, axis_names=("chan", "lam")) -> Mesh:
+    devices = np.asarray(jax.devices()[: n_chan * n_lam]).reshape(n_chan, n_lam)
+    return Mesh(devices, axis_names)
+
+
+class ShardedSpectro2D:
+    """Flagship model over a ("chan", "lam") mesh; maps replicated."""
+
+    def __init__(self, model, mesh: Mesh):
+        assert len(mesh.axis_names) == 2, "expects a 2-D mesh"
+        self.model = model
+        self.mesh = mesh
+        self.ax_c, self.ax_l = mesh.axis_names
+        self.n_c = int(mesh.shape[self.ax_c])
+        self.n_l = int(mesh.shape[self.ax_l])
+        n_ch = len(model.channels)
+        self.slots: List[List[int]] = [
+            [c for c in range(n_ch) if c % self.n_c == d] for d in range(self.n_c)
+        ]
+        self.per_dev = max(1, ceil(n_ch / self.n_c))
+        self.block = max(int(np.prod(o)) for o in model.instrs_oshape)
+
+        # per (channel, lam-shard): static λ-column span of the window
+        self._spans = []
+        for chan in model.channels:
+            W = chan.n_wslice
+            Lp = ceil(W / self.n_l)
+            spans = []
+            for e in range(self.n_l):
+                lo, hi = e * Lp, min((e + 1) * Lp, W)
+                spans.append((lo, max(hi - lo, 0)))
+            self._spans.append(spans)
+
+        sm = lambda f, i, o: jax.jit(
+            jax.shard_map(f, mesh=mesh, in_specs=i, out_specs=o, check_vma=False)
+        )
+        # forward output: per-channel blocks sharded over "chan", identical
+        # (post-psum) across "lam"
+        self._forward_sm = sm(self._local_forward, P(), P(self.ax_c))
+        self._normal_sm = sm(self._local_normal, P(), P())
+        self.x_sharding = NamedSharding(mesh, P())
+
+    # ------------------------------------------------------------------
+    def _channel_partial_forward(self, c: int, e: int, x):
+        """Channel c's detector block from this device's λ-column slice."""
+        model = self.model
+        chan = model.channels[c]
+        lo, n = self._spans[c][e]
+        if n == 0:
+            return jnp.zeros(chan.oshape, x.dtype)
+        wsl = chan.wslice
+        npctype = np.complex64 if model.dtype == jnp.float32 else np.complex128
+        sotf_cols = np.asarray(model.sotf[wsl.start + lo : wsl.start + lo + n], npctype)
+        tpl_cols = np.asarray(
+            model.templates[:, wsl.start + lo : wsl.start + lo + n],
+            np.float32 if model.dtype == jnp.float32 else np.float64,
+        )
+        cube_cols = lmm.lmm_maps2cube(x, tpl_cols)
+        blurred = fft.idft(fft.dft(cube_cols) * sotf_cols, model.imshape)
+        # per-plane pipeline then partial contraction with wpsf columns
+        nla, nlb = chan.local_im_shape
+        n_aout = chan.oshape[3]
+        srf = chan.srf
+        sb = chan.slit_shape[2]
+        wcols = chan._wpsf_dev[:, lo : lo + n, :]
+        outs = []
+        for idx, w in chan._plans_fwd_dev:
+            gridded = bilinear.apply_plan(idx, w, blurred).reshape(n, nla, nlb)
+            if chan._box_offset is not None:
+                off = chan._box_offset
+                windows = jnp.stack(
+                    [
+                        gridded[:, a0 + off : a0 + off + n_aout * srf, b0 : b0 + sb]
+                        for a0, b0 in zip(chan.slit_a_starts, chan.slit_b_starts)
+                    ]
+                ).reshape(-1, n, n_aout, srf, sb).sum(axis=3)
+            else:
+                summed = fft.idft(fft.dft(gridded) * chan.otf_combined, (nla, nlb))
+                windows = jnp.stack(
+                    [
+                        summed[:, a0 : a0 + n_aout * srf : srf, b0 : b0 + sb]
+                        for a0, b0 in zip(chan.slit_a_starts, chan.slit_b_starts)
+                    ]
+                )
+            windows = windows * chan.slit_weights_sub[:, jnp.newaxis, :, :]
+            outs.append(jnp.einsum("slab,klb->ska", windows, wcols.astype(x.dtype)))
+        return jnp.stack(outs)
+
+    def _local_forward(self, x):
+        model = self.model
+        dt = model.dtype
+
+        def branch(d):
+            def f(x):
+                e = jax.lax.axis_index(self.ax_l)
+                rows = []
+                for s in range(self.per_dev):
+                    if s < len(self.slots[d]):
+                        c = self.slots[d][s]
+                        part = jax.lax.switch(
+                            e,
+                            [
+                                (lambda x, c=c, e_=e_: self._channel_partial_forward(c, e_, x))
+                                for e_ in range(self.n_l)
+                            ],
+                            x,
+                        )
+                        y = jax.lax.psum(part, self.ax_l).ravel()
+                        rows.append(jnp.pad(y, (0, self.block - y.size)))
+                    else:
+                        rows.append(jnp.zeros((self.block,), dt))
+                return jnp.stack(rows)
+
+            return f
+
+        d = jax.lax.axis_index(self.ax_c)
+        return jax.lax.switch(d, [branch(i) for i in range(self.n_c)], x)
+
+    def _local_normal(self, x):
+        """HᵗH x: per-device partial forward → psum over lam → per-device
+        adjoint of its λ-columns → psum over the whole mesh."""
+        model = self.model
+
+        def branch(d):
+            def f(x):
+                e = jax.lax.axis_index(self.ax_l)
+                acc = jnp.zeros(model.ishape, model.dtype)
+                for c in self.slots[d]:
+                    part = jax.lax.switch(
+                        e,
+                        [
+                            (lambda x, c=c, e_=e_: self._channel_partial_forward(c, e_, x))
+                            for e_ in range(self.n_l)
+                        ],
+                        x,
+                    )
+                    y_c = jax.lax.psum(part, self.ax_l)
+                    contrib = jax.lax.switch(
+                        e,
+                        [
+                            (lambda y, c=c, e_=e_: self._channel_partial_adjoint(c, e_, y))
+                            for e_ in range(self.n_l)
+                        ],
+                        y_c,
+                    )
+                    acc = acc + contrib
+                return acc
+
+            return f
+
+        d = jax.lax.axis_index(self.ax_c)
+        acc = jax.lax.switch(d, [branch(i) for i in range(self.n_c)], x)
+        acc = jax.lax.psum(acc, self.ax_l)
+        return jax.lax.psum(acc, self.ax_c)
+
+    def _channel_partial_adjoint(self, c: int, e: int, y):
+        """Maps contribution of channel c's λ-columns owned by shard e."""
+        model = self.model
+        chan = model.channels[c]
+        lo, n = self._spans[c][e]
+        if n == 0:
+            return jnp.zeros(model.ishape, y.dtype)
+        wsl = chan.wslice
+        npctype = np.complex64 if model.dtype == jnp.float32 else np.complex128
+        sotf_cols = np.asarray(
+            model.sotf[wsl.start + lo : wsl.start + lo + n].conj(), npctype
+        )
+        tpl_cols = np.asarray(
+            model.templates[:, wsl.start + lo : wsl.start + lo + n],
+            np.float32 if model.dtype == jnp.float32 else np.float64,
+        )
+        nla, nlb = chan.local_im_shape
+        n_aout = chan.oshape[3]
+        srf = chan.srf
+        sb = chan.slit_shape[2]
+        S = chan.oshape[1]
+        wcols = chan._wpsf_dev[:, lo : lo + n, :]
+        K = wcols.shape[0]
+        planes = jnp.zeros((n,) + model.imshape, y.dtype)
+        for p_idx, tplan in enumerate(chan._tplans_fwd):
+            y2d = jnp.transpose(y[p_idx], (0, 2, 1)).reshape(S * n_aout, K)
+            win_t = jax.lax.dot_general(
+                y2d, wcols.reshape(K, n * sb), (((1,), (0,)), ((), ())),
+                preferred_element_type=y.dtype,
+            ).reshape(S, n_aout, n, sb)
+            win_t = jnp.transpose(win_t, (0, 2, 1, 3))
+            win_t = win_t * chan.slit_weights_sub[:, jnp.newaxis, :, :]
+            if chan._box_offset is not None:
+                off = chan._box_offset
+                up = jnp.broadcast_to(
+                    win_t[:, :, :, jnp.newaxis, :], (S, n, n_aout, srf, sb)
+                ).reshape(S, n, n_aout * srf, sb)
+                gridded_t = jnp.zeros((n, nla, nlb), y.dtype)
+                for s, (a0, b0) in enumerate(
+                    zip(chan.slit_a_starts, chan.slit_b_starts)
+                ):
+                    gridded_t = gridded_t.at[
+                        :, a0 + off : a0 + off + n_aout * srf, b0 : b0 + sb
+                    ].add(up[s])
+            else:
+                up = jnp.zeros((S, n, n_aout, srf, sb), y.dtype)
+                up = up.at[:, :, :, 0, :].set(win_t).reshape(S, n, n_aout * srf, sb)
+                nla_pad = max(
+                    nla, max(int(a0) + n_aout * srf for a0 in chan.slit_a_starts)
+                )
+                summed_t = jnp.zeros((n, nla_pad, nlb), y.dtype)
+                for s, (a0, b0) in enumerate(
+                    zip(chan.slit_a_starts, chan.slit_b_starts)
+                ):
+                    summed_t = summed_t.at[
+                        :, a0 : a0 + n_aout * srf, b0 : b0 + sb
+                    ].add(up[s])
+                summed_t = summed_t[:, :nla, :]
+                gridded_t = fft.idft(
+                    fft.dft(summed_t) * jnp.conj(chan.otf_combined), (nla, nlb)
+                )
+            planes = planes + bilinear.apply_transpose_plan(
+                tplan, gridded_t.reshape(n, -1)
+            )
+        blurred_t = fft.idft(fft.dft(planes) * sotf_cols, model.imshape)
+        return lmm.lmm_cube2maps(blurred_t, tpl_cols)
+
+    # ------------------------------------------------------------------
+    def forward(self, x):
+        """maps → [n_c·slots, n_l·?]-tiled data (row-padded per-channel blocks)."""
+        return self._forward_sm(jnp.asarray(x, self.model.dtype).reshape(self.model.ishape))
+
+    def normal(self, x):
+        """HᵗH x over the full 2-D mesh (one big psum of the maps array)."""
+        return self._normal_sm(jnp.asarray(x, self.model.dtype).reshape(self.model.ishape))

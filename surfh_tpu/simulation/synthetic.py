@@ -144,6 +144,7 @@ def make_model(
     dtype=None,
     gridding: str = "bilinear",
     wblur_impl: str = "dense",
+    wblur_band_rtol: float = 0.0,
     **kwargs,
 ):
     """Build the flagship `SpectroSigRLSCT` from a synthetic setup."""
@@ -167,5 +168,6 @@ def make_model(
         dtype=dtype,
         gridding=gridding,
         wblur_impl=wblur_impl,
+        wblur_band_rtol=wblur_band_rtol,
     )
     return model, setup

@@ -96,3 +96,18 @@ def test_flagship_banded_adjoint_matches_dense():
     a_dense = np.asarray(dense_model.adjoint(y))
     a_banded = np.asarray(banded_model.adjoint(y))
     np.testing.assert_allclose(a_banded, a_dense, rtol=1e-4, atol=2e-4 * np.abs(a_dense).max())
+
+
+def test_band_rtol_accuracy_contract():
+    """wblur_band_rtol trades FLOPs for a truncation error of its order."""
+    kw = dict(im_size=31, n_lambda=200, n_tpl=3, n_channels=1, n_pointings=1,
+              n_slit=3, detector_oversample=4)
+    exact_model, setup = make_model(**kw)
+    approx_model, _ = make_model(**kw, wblur_impl="banded", wblur_band_rtol=1e-3)
+    plan = approx_model.channels[0].band_plan()
+    assert plan.density < 1.0  # the threshold actually created a band
+    y_exact = np.asarray(exact_model.forward(setup["maps"]))
+    y_approx = np.asarray(approx_model.forward(setup["maps"]))
+    rel = np.abs(y_approx - y_exact).max() / np.abs(y_exact).max()
+    assert rel < 5e-2  # truncation error bounded (heavy sinc² tails)
+    assert rel > 0  # and it is an approximation, not a no-op

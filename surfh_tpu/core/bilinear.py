@@ -180,10 +180,19 @@ def apply_transpose_plan(tplan: TransposePlan, values, dtype=None):
 
     values: [..., P] → out [..., Na, Nb].
     """
-    na, nb = tplan.shape
+    return apply_transpose_plan_arrays(tplan.idx, tplan.w, values, tplan.shape)
+
+
+def apply_transpose_plan_arrays(tidx, tw, values, grid_shape: Tuple[int, int]):
+    """Array-argument form of :func:`apply_transpose_plan`.
+
+    Takes the (idx, w) tables directly so they can be traced values — e.g.
+    per-pointing tables fed through `lax.scan` — instead of baked constants.
+    """
+    na, nb = grid_shape
     out = jnp.zeros(values.shape[:-1] + (na * nb,), values.dtype)
-    for c in range(tplan.idx.shape[0]):
-        out = out + tplan.w[c] * jnp.take(values, tplan.idx[c], axis=-1)
+    for c in range(tidx.shape[0]):
+        out = out + tw[c] * jnp.take(values, tidx[c], axis=-1)
     return out.reshape(values.shape[:-1] + (na, nb))
 
 

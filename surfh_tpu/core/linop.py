@@ -20,21 +20,39 @@ Shape = Tuple[int, ...]
 
 
 def build_transpose(fwd: Callable, primal) -> Callable:
-    """`jax.linear_transpose` with trace-time constants pinned to host/CPU.
+    """Exact transpose of a linear `fwd`, with constants pinned to host/CPU.
 
-    During linear_transpose's trace of `fwd`, rank-promoting broadcasts of
-    NumPy constants execute *eagerly* on the default device; some TPU
-    runtimes cannot fetch those device constants back for lowering
-    (UNIMPLEMENTED device→host transfer).  Building the transpose under the
-    CPU default device keeps every trace-time constant host-resident so jit
-    can embed it directly.
+    Implemented as the VJP at a zero primal: for a linear map the VJP *is*
+    the transpose (exact, not approximate), and unlike `jax.linear_transpose`
+    it supports `lax.scan` bodies (jax 0.9's scan transpose rule chokes on
+    non-linear scanned inputs such as gather-plan tables).  The unused primal
+    output and zero-input forward pass are dead-code-eliminated by XLA under
+    jit, so the compiled program is the same as the hand-derived transpose.
+
+    During the trace, rank-promoting broadcasts of NumPy constants execute
+    *eagerly* on the default device; some TPU runtimes cannot fetch those
+    device constants back for lowering (UNIMPLEMENTED device→host transfer).
+    Tracing under the CPU default device keeps every trace-time constant
+    host-resident so jit can embed it directly.
     """
+
+    def transpose(cotangent):
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, p.dtype), primal
+        )
+        _, vjp_fn = jax.vjp(fwd, zeros)
+        return vjp_fn(cotangent)
+
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
-        return jax.linear_transpose(fwd, primal)
-    with jax.default_device(cpu):
-        return jax.linear_transpose(fwd, primal)
+        return transpose
+
+    def transpose_on_cpu_trace(cotangent):
+        with jax.default_device(cpu):
+            return transpose(cotangent)
+
+    return transpose_on_cpu_trace
 
 
 class LinOp:
@@ -113,7 +131,7 @@ class FuncLinOp(LinOp):
 def dottest(
     op: LinOp,
     num: int = 5,
-    rtol: float = 1e-4,
+    rtol: float = 1e-5,
     echo: bool = False,
     seed: int = 0,
 ) -> bool:

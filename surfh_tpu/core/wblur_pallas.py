@@ -124,7 +124,7 @@ def _banded_call(arr, plan: BandPlan, interpret: bool):
         num_scalar_prefetch=1,
         grid=(nT,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, LBB, TK), lambda i, starts: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((TK, SA), lambda i, starts: (i, 0)),
@@ -258,7 +258,7 @@ def wblur_sum_beta_t_banded(y, plan: BandPlanT, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(nT,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, M, KB), lambda i, starts: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((M, SA), lambda i, starts: (i, 0)),

@@ -55,10 +55,16 @@ class Channel:
         gridding: str = "bilinear",
         wblur_impl: str = "dense",
         wblur_band_rtol: float = 0.0,
+        slit_unroll: bool = True,
+        pointing_scan: Optional[bool] = None,
     ):
         if wblur_impl not in ("dense", "banded"):
             raise ValueError(f"unknown wblur_impl {wblur_impl!r}")
         self.wblur_impl = wblur_impl
+        # unrolled static slit slices fuse best (fastest on TPU); the compact
+        # vmap/fori form keeps the graph O(1) in n_slit for compile-bound
+        # flagship-scale builds.
+        self.slit_unroll = bool(slit_unroll)
         # support threshold (relative to max) for the banded kernel: the sinc²
         # response has algebraic tails, so banding truncates ~rtol of the
         # response mass in exchange for ~W/LB fewer FLOPs/bytes.  0 keeps the
@@ -74,6 +80,13 @@ class Channel:
 
         self.instr = instr.pix(self.step_degree)
         self.pointings = pointings.pix(self.step_degree)
+        # Pointing structure: ≤2 pointings unroll (constant gather tables,
+        # full cross-pointing XLA fusion — fastest); ≥3 scan (graph stays
+        # O(1) in n_pointing, the flagship's 12×4 unroll was a ~30-min
+        # XLA-CPU compile).  Override with the explicit flag.
+        if pointing_scan is None:
+            pointing_scan = len(self.pointings) >= 3
+        self.pointing_scan = bool(pointing_scan)
 
         local_alpha_axis, local_beta_axis = self.instr.fov.local_coords(
             step_degree, alpha_margin=5 * step_degree, beta_margin=5 * step_degree
@@ -171,9 +184,40 @@ class Channel:
         self._plans_rev_dev = [
             (np.asarray(p.idx), np.asarray(p.w, npdtype)) for p in self.plans_rev
         ]
+        # Stacked per-pointing tables [P, 4, Npts] for the lax.scan pipeline:
+        # scanning over pointings keeps the compiled graph O(1) in n_pointing
+        # (the flagship is 12 bands × 4 pointings — unrolling every pointing
+        # of every band made the 12-band adjoint a ~30-min XLA compile).
+        self._plans_fwd_stack = (
+            np.stack([i for i, _ in self._plans_fwd_dev]),
+            np.stack([w for _, w in self._plans_fwd_dev]),
+        )
         # sorted-COO transposes of the forward gather plans: the exact
-        # adjoint's 4-point scatter-add becomes gather + sorted segment-sum
-        self._tplans_fwd = [bilinear.transpose_plan(p) for p in self.plans_fwd]
+        # adjoint's 4-point scatter-add becomes gather + sorted segment-sum.
+        # Weights are cast to the model dtype like the forward plans —
+        # float64 weights would silently promote the whole adjoint under x64
+        # and trip the float64→float32 scatter-dtype check downstream.
+        self._tplans_fwd = [
+            bilinear.TransposePlan(t.idx, np.asarray(t.w, npdtype), t.shape)
+            for t in (bilinear.transpose_plan(p) for p in self.plans_fwd)
+        ]
+        # Stacked transpose plans for the scanned adjoint: pad the per-pixel
+        # contributor count C to the max over pointings (w=0 rows are inert).
+        _cmax = max(t.idx.shape[0] for t in self._tplans_fwd)
+        self._tplans_fwd_stack = (
+            np.stack(
+                [
+                    np.pad(t.idx, ((0, _cmax - t.idx.shape[0]), (0, 0)))
+                    for t in self._tplans_fwd
+                ]
+            ),
+            np.stack(
+                [
+                    np.pad(t.w, ((0, _cmax - t.w.shape[0]), (0, 0)))
+                    for t in self._tplans_fwd
+                ]
+            ),
+        )
 
         # Slit window tables, α pre-subsampled by the SRF.
         a_starts, b_starts, weights = self.slicer.slit_tables()
@@ -184,6 +228,9 @@ class Channel:
             weights[:, : n_aout * self.srf : self.srf, :], npdtype
         )
         self.slit_shape = self.slicer.get_slit_shape()
+        # int32 device copies for the vmapped window gather / fori_loop scatter
+        self._a_starts_dev = np.asarray(a_starts, np.int32)
+        self._b_starts_dev = np.asarray(b_starts, np.int32)
 
         # --- direct SRF box-sum ------------------------------------------
         # `otf_combined` is the transfer function of "sum srf consecutive α
@@ -291,14 +338,89 @@ class Channel:
         (Pallas calls have no transpose rule)."""
         return self._forward_windowed_impl(xw, wpsf, "dense")
 
-    def _forward_windowed_impl(self, xw, wpsf, impl):
+    # -- slit windowing ----------------------------------------------------
+    # Two spellings with identical semantics:
+    #  * unrolled static slices (default) — trivial ops XLA fuses into the
+    #    surrounding pipeline; measured fastest on TPU (slice/stack and the
+    #    window adds fuse with the FFT/matmul stages around them);
+    #  * one vmapped dynamic_slice / fori_loop of dynamic-update-slices —
+    #    O(1) graph size in n_slit, for compile-bound flagship-scale builds
+    #    (`slit_unroll=False`).
+    def _gather_slit_windows(self, img, a_off: int, rows: int):
+        """All slit windows of a local image stack: img [W, nla, nlb] →
+        [S, W, rows, sb].  `a_off` shifts every α start (the calibrated
+        box-sum offset); construction guarantees the shifted windows are in
+        bounds, so the dynamic_slice form never clamps."""
+        sb = self.slit_shape[2]
+        W_ = img.shape[0]
+        if self.slit_unroll:
+            return jnp.stack(
+                [
+                    img[:, a0 + a_off : a0 + a_off + rows, b0 : b0 + sb]
+                    for a0, b0 in zip(
+                        self.slit_a_starts.tolist(), self.slit_b_starts.tolist()
+                    )
+                ]
+            )
+
+        def one(a0, b0):
+            zero = jnp.zeros((), a0.dtype)
+            return jax.lax.dynamic_slice(
+                img, (zero, a0 + a_off, b0), (W_, rows, sb)
+            )
+
+        return jax.vmap(one)(self._a_starts_dev, self._b_starts_dev)
+
+    def _scatter_slit_windows_t(self, up, a_off: int, nla_out: int):
+        """Exact transpose of :meth:`_gather_slit_windows`: accumulate the
+        per-slit windows up [S, W, rows, sb] back into a zero [W, nla_out,
+        nlb] stack.  Adjacent slits share one β edge column, so updates must
+        accumulate (slice-adds, or a sequential fori_loop of
+        dynamic-update-slices in the compact form)."""
+        nlb = self.local_im_shape[1]
+        S, W_, rows, sb = up.shape
+        out = jnp.zeros((W_, nla_out, nlb), up.dtype)
+        if self.slit_unroll:
+            for s, (a0, b0) in enumerate(
+                zip(self.slit_a_starts.tolist(), self.slit_b_starts.tolist())
+            ):
+                out = out.at[
+                    :, a0 + a_off : a0 + a_off + rows, b0 : b0 + sb
+                ].add(up[s])
+            return out
+
+        def body(s, acc):
+            a0 = jnp.asarray(self._a_starts_dev)[s] + a_off
+            b0 = jnp.asarray(self._b_starts_dev)[s]
+            zero = jnp.zeros((), a0.dtype)
+            cur = jax.lax.dynamic_slice(acc, (zero, a0, b0), (W_, rows, sb))
+            return jax.lax.dynamic_update_slice(acc, cur + up[s], (zero, a0, b0))
+
+        return jax.lax.fori_loop(0, S, body, out)
+
+    def _forward_one_pointing(self, xw, wpsf, impl, idx, w):
+        """One pointing's S·L·R·Sig pipeline: windowed cube → [S, λ', α]."""
         n_aout = self.oshape[3]
         srf = self.srf
         nla, nlb = self.local_im_shape
-        sa, sb = self.slit_shape[1], self.slit_shape[2]
-        # the banded plan is built from the channel's own (mrs) wpsf; any
-        # other spectral response (e.g. dirac re-projection) stays dense
         banded = impl == "banded" and wpsf is self._wpsf_dev
+        off = self._box_offset
+        W_ = xw.shape[0]
+        gridded = bilinear.apply_plan(idx, w, xw).reshape(W_, nla, nlb)
+        if off is not None:
+            # direct SRF box-sum: gather srf·n_aout rows per slit, fold the
+            # srf axis by reshape and sum — no FFT pair needed
+            windows = self._gather_slit_windows(gridded, off, n_aout * srf)
+            windows = windows.reshape(-1, W_, n_aout, srf, windows.shape[3]).sum(
+                axis=3
+            )
+        else:
+            summed = fft.idft(fft.dft(gridded) * self.otf_combined, (nla, nlb))
+            # strided α read: gather the covering rows then subsample
+            windows = self._gather_slit_windows(
+                summed, 0, (n_aout - 1) * srf + 1
+            )[:, :, ::srf, :]
+        windows = windows * self.slit_weights_sub[:, jnp.newaxis, :, :]
         if banded:
             import jax as _jax
 
@@ -306,40 +428,28 @@ class Channel:
 
             plan = self.band_plan()
             interpret = _jax.default_backend() == "cpu"
-        off = self._box_offset
-        per_pointing = []
-        for idx, w in self._plans_fwd_dev:
-            gridded = bilinear.apply_plan(idx, w, xw).reshape(xw.shape[0], nla, nlb)
-            if off is not None:
-                # direct SRF box-sum: slice srf·n_aout rows per slit, fold
-                # the srf axis by reshape and sum — no FFT pair needed
-                W_ = xw.shape[0]
-                windows = jnp.stack(
-                    [
-                        gridded[:, a0 + off : a0 + off + n_aout * srf, b0 : b0 + sb]
-                        for a0, b0 in zip(self.slit_a_starts, self.slit_b_starts)
-                    ]
-                ).reshape(-1, W_, n_aout, srf, sb).sum(axis=3)
-            else:
-                summed = fft.idft(fft.dft(gridded) * self.otf_combined, (nla, nlb))
-                windows = jnp.stack(
-                    [
-                        summed[
-                            :,
-                            a0 : a0 + n_aout * srf : srf,
-                            b0 : b0 + sb,
-                        ]
-                        for a0, b0 in zip(self.slit_a_starts, self.slit_b_starts)
-                    ]
-                )
-            windows = windows * self.slit_weights_sub[:, jnp.newaxis, :, :]
-            if banded:
-                per_pointing.append(
-                    wblur_pallas.wblur_sum_beta_banded(windows, plan, interpret=interpret).astype(xw.dtype)
-                )
-            else:
-                per_pointing.append(wblur.wblur_sum_beta_batched(windows, wpsf))
-        return jnp.stack(per_pointing)
+            return wblur_pallas.wblur_sum_beta_banded(
+                windows, plan, interpret=interpret
+            ).astype(xw.dtype)
+        return wblur.wblur_sum_beta_batched(windows, wpsf)
+
+    def _forward_windowed_impl(self, xw, wpsf, impl):
+        if not self.pointing_scan:
+            # unrolled: constant gather tables, full cross-pointing fusion
+            return jnp.stack(
+                [
+                    self._forward_one_pointing(xw, wpsf, impl, idx, w)
+                    for idx, w in self._plans_fwd_dev
+                ]
+            )
+        idx_stack, w_stack = self._plans_fwd_stack
+
+        def body(_, plan):
+            idx, w = plan
+            return None, self._forward_one_pointing(xw, wpsf, impl, idx, w)
+
+        _, per_pointing = jax.lax.scan(body, None, (idx_stack, w_stack))
+        return per_pointing
 
     def _forward_fn(self, cube):
         """cube [L, Na, Nb] → detector blocks [P, S, λ_det, α_out]."""
@@ -384,15 +494,18 @@ class Channel:
         einsum per pointing, and the gridding transpose is a presorted
         segment-sum instead of XLA's generic 4-point scatter.
         """
+        return self._adjoint_windowed_fast_impl(y, self.n_wslice, self._wpsf_dev)
+
+    def _adjoint_windowed_fast_impl(self, y, W: int, wpsf):
+        """Scanned-over-pointings body of the fast adjoint.  `W` / `wpsf` are
+        parameters so λ-sharded callers can run it on a window sub-span."""
         n_aout = self.oshape[3]
         srf = self.srf
         nla, nlb = self.local_im_shape
-        W = self.n_wslice
         sb = self.slit_shape[2]
-        wpsf = self._wpsf_dev
         K = wpsf.shape[0]
         S = self.oshape[1]
-        banded = self.wblur_impl == "banded"
+        banded = self.wblur_impl == "banded" and wpsf is self._wpsf_dev
         if banded:
             import jax as _jax
 
@@ -403,39 +516,33 @@ class Channel:
         # one explicit MXU matmul [S·A, K] @ [K, W·B] (an einsum spelling of
         # the same contraction can land on the VPU with a bad layout)
         wp2d = wpsf.reshape(K, W * sb)
-        out = jnp.zeros((W,) + self.imshape, y.dtype)
-        for p_idx, tplan in enumerate(self._tplans_fwd):
+        off = self._box_offset
+
+        def one_pointing(yp, tidx, tw):
             # transpose of wblur_sum_beta, all slits at once
             if banded:
                 win_t = wblur_pallas.wblur_sum_beta_t_banded(
-                    y[p_idx], plan_t, interpret=interpret
-                ).astype(y.dtype)
+                    yp, plan_t, interpret=interpret
+                ).astype(yp.dtype)
             else:
-                y2d = jnp.transpose(y[p_idx], (0, 2, 1)).reshape(S * n_aout, K)
+                y2d = jnp.transpose(yp, (0, 2, 1)).reshape(S * n_aout, K)
                 win_t = jax.lax.dot_general(
                     y2d, wp2d, (((1,), (0,)), ((), ())),
-                    preferred_element_type=y.dtype,
+                    preferred_element_type=yp.dtype,
                 ).reshape(S, n_aout, W, sb)
                 win_t = jnp.transpose(win_t, (0, 2, 1, 3))
             win_t = win_t * self.slit_weights_sub[:, jnp.newaxis, :, :]
-            off = self._box_offset
             if off is not None:
                 # transpose of the direct box-sum: broadcast each window row
                 # over its srf source rows, contiguous block adds, no FFT
                 up = jnp.broadcast_to(
                     win_t[:, :, :, jnp.newaxis, :], (S, W, n_aout, srf, sb)
                 ).reshape(S, W, n_aout * srf, sb)
-                gridded_t = jnp.zeros((W, nla, nlb), y.dtype)
-                for s, (a0, b0) in enumerate(
-                    zip(self.slit_a_starts, self.slit_b_starts)
-                ):
-                    gridded_t = gridded_t.at[
-                        :, a0 + off : a0 + off + n_aout * srf, b0 : b0 + sb
-                    ].add(up[s])
+                gridded_t = self._scatter_slit_windows_t(up, off, nla)
             else:
                 # α-upsample as a pad (stride becomes a reshaped axis), then
                 # contiguous block adds and the conjugate SRF convolution
-                up = jnp.zeros((S, W, n_aout, srf, sb), y.dtype)
+                up = jnp.zeros((S, W, n_aout, srf, sb), yp.dtype)
                 up = up.at[:, :, :, 0, :].set(win_t).reshape(S, W, n_aout * srf, sb)
                 # α padded so the contiguous blocks never clip (the strided
                 # forward read stops inside the grid; ceil(sa/srf)·srf may not)
@@ -443,20 +550,31 @@ class Channel:
                     nla,
                     max(int(a0) + n_aout * srf for a0 in self.slit_a_starts),
                 )
-                summed_t = jnp.zeros((W, nla_pad, nlb), y.dtype)
-                for s, (a0, b0) in enumerate(
-                    zip(self.slit_a_starts, self.slit_b_starts)
-                ):
-                    summed_t = summed_t.at[
-                        :, a0 : a0 + n_aout * srf, b0 : b0 + sb
-                    ].add(up[s])
-                summed_t = summed_t[:, :nla, :]
+                summed_t = self._scatter_slit_windows_t(up, 0, nla_pad)[:, :nla, :]
                 gridded_t = fft.idft(
                     fft.dft(summed_t) * jnp.conj(self.otf_combined), (nla, nlb)
                 )
-            out = out + bilinear.apply_transpose_plan(
-                tplan, gridded_t.reshape(W, -1)
+            return bilinear.apply_transpose_plan_arrays(
+                tidx, tw, gridded_t.reshape(W, -1), self.imshape
             )
+
+        if not self.pointing_scan:
+            out = jnp.zeros((W,) + self.imshape, y.dtype)
+            for p_idx, t in enumerate(self._tplans_fwd):
+                out = out + one_pointing(y[p_idx], t.idx, t.w)
+            return out
+
+        tidx_stack, tw_stack = self._tplans_fwd_stack
+
+        def body(acc, xs):
+            yp, tidx, tw = xs
+            return acc + one_pointing(yp, tidx, tw), None
+
+        out, _ = jax.lax.scan(
+            body,
+            jnp.zeros((W,) + self.imshape, y.dtype),
+            (y, tidx_stack, tw_stack),
+        )
         return out
 
     # ------------------------------------------------------------------

@@ -165,13 +165,21 @@ class SpectroSigRLSCT(LinOp):
         transpose as a presorted segment-sum and the spectral-blur transpose
         as one einsum per pointing — the TPU-fast formulation.
         """
-        y = y.reshape(self.oshape)
+        # Coerce to the model dtype up front: callers (criterion setup paths)
+        # may pass float64 NumPy data under x64, and a float64 update into the
+        # float32 cube scatter is a FutureWarning → hard error in future JAX.
+        y = jnp.asarray(y, self.dtype).reshape(self.oshape)
         cube = jnp.zeros(self.cube_shape, self.dtype)
         for c, chan in enumerate(self.channels):
             block = y[int(self._idx[c]) : int(self._idx[c + 1])].reshape(chan.oshape)
             cube_w = chan._adjoint_windowed_fast(block)
-            # static λ-window scatter-add (overlapping windows accumulate)
-            cube = cube.at[chan.wslice.start : chan.wslice.stop].add(cube_w)
+            # static λ-window scatter-add (overlapping windows accumulate);
+            # the channel adjoint may promote to float64 under x64 (its static
+            # wpsf tables are host float64) — match the cube dtype so the
+            # scatter never needs an unsafe implicit downcast.
+            cube = cube.at[chan.wslice.start : chan.wslice.stop].add(
+                cube_w.astype(cube.dtype)
+            )
         blurred_t = fft.idft(fft.dft(cube) * jnp.conj(self._sotf_dev), self.imshape)
         if self.lmm:
             return lmm.lmm_cube2maps(blurred_t, self._templates_dev)
@@ -282,9 +290,10 @@ class SpectroSigRLSCT(LinOp):
                     sliced, slit_idx, (1, nla, nlb)
                 )[0]
             sum_t = np.fft.irfftn(
-                np.fft.rfftn(local_img, norm="ortho")
+                np.fft.rfftn(local_img, axes=(-2, -1), norm="ortho")
                 * (chan._otf_sr[0].conj() * chan.decalf.conj()),
                 s=(nla, nlb),
+                axes=(-2, -1),
                 norm="ortho",
             )
             degridded = numpy_ref.apply_plan(

@@ -1,6 +1,6 @@
 """Benchmark: fwd+adjoint cube-op throughput of the flagship fusion operator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 * value: GVox/s of one fused forward+adjoint application of the flagship
   `SpectroSigRLSCT` operator (voxels = 2 × cube size per application), jitted
@@ -8,7 +8,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 * vs_baseline: speedup over the reference-equivalent CPU path
   (`surfh_tpu.core.numpy_ref`: serial channel/pointing/slit loops, scipy.fft
   workers=-1 — the reference publishes no numbers, BASELINE.md, so the
-  baseline is measured empirically on the same problem).
+  baseline is measured empirically on the same problem).  For the synthetic
+  presets the baseline is re-measured (medians over ≥3 reps, config recorded
+  in the JSON); for the `flagship` preset the baseline is a RECORDED
+  measurement of the same numpy_ref path at full scale (see PERF.md), since
+  a ~1 h CPU run inside every bench invocation is not viable.
+* extras: `flops_per_app` (XLA cost analysis of the compiled programs, with
+  an analytic fallback), `tflops` achieved, `mfu_est` vs the v5e bf16 peak
+  (197 TFLOP/s — conservative: the pipeline runs f32), `baseline_s`,
+  `baseline_config`, `t_app_s`, `preset`.
+
+Presets:
+  small/medium/large — synthetic multi-band problems (compile-light).
+  flagship — the reference's real problem scale: 12 MIRI bands × 4 dither
+  pointings, 501² grid, ~3879-λ cube (scripts/main_fusion.py:34-39), run in
+  window-local tables-as-args mode.
 """
 
 import json
@@ -17,13 +31,54 @@ import time
 
 import numpy as np
 
-# Presets trade compile time (≈ channels × pointings × slits unrolled ops —
-# expensive through remote-compile tunnels) against arithmetic size.
 PRESETS = {
     "small": dict(im_size=81, n_lambda=60, n_tpl=4, n_channels=2, n_pointings=2, n_slit=5),
     "medium": dict(im_size=251, n_lambda=250, n_tpl=4, n_channels=2, n_pointings=2, n_slit=11),
     "large": dict(im_size=501, n_lambda=600, n_tpl=4, n_channels=4, n_pointings=4, n_slit=17),
 }
+
+# Recorded CPU baselines for one fwd+adjoint application of the
+# reference-equivalent numpy path (surfh_tpu.core.numpy_ref), measured on
+# this image's CPU (1 vCPU, scipy.fft workers=-1, float64).  Presets without
+# an entry are measured in-process.
+RECORDED_BASELINES = {
+    # filled by scripts/measure_flagship_baseline.py; see PERF.md
+}
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "baseline_cpu.json")
+
+# TPU v5e peak: 197 TFLOP/s bf16 (the MXU's native mode).  The pipeline runs
+# float32, so this denominator is conservative (an f32-peak MFU would be ~2×).
+V5E_PEAK_FLOPS = 197e12
+
+
+def _analytic_flops(model) -> float:
+    """Analytic FLOP count of one fwd+adjoint application (lower bound).
+
+    Counts the dominant stages (LMM matmul, FFT conv pairs, gridding gather,
+    SRF box-sum, spectral-blur matmul) for forward and adjoint alike.
+    """
+    n_tpl = model.templates.shape[0] if model.lmm else 0
+    N2 = float(np.prod(model.imshape))
+    total = 0.0
+    for chan in model.channels:
+        W = float(chan.n_wslice)
+        P = len(chan.pointings)
+        S, K, A = chan.oshape[1], chan.oshape[2], chan.oshape[3]
+        sb = chan.slit_shape[2]
+        nl = float(np.prod(chan.local_im_shape))
+        if model.lmm:
+            total += 2 * n_tpl * W * N2  # T
+        total += 2 * 5 * W * N2 * np.log2(max(N2, 2))  # C: rfft2+irfft2 pair
+        total += 6 * W * N2 / 2  # OTF multiply (complex, half-spectrum)
+        per_pointing = (
+            7 * W * nl  # bilinear gather (4 mul + 3 add)
+            + W * S * A * chan.srf * sb  # SRF box-sum adds
+            + W * S * A * sb  # slit weights
+            + 2 * K * W * sb * S * A  # Sig·R matmul
+        )
+        total += P * per_pointing
+    return 2.0 * total  # adjoint mirrors the forward
 
 
 def main():
@@ -41,53 +96,111 @@ def main():
     import jax.numpy as jnp
 
     from surfh_tpu.core import numpy_ref
-    from surfh_tpu.simulation.synthetic import make_model
 
-    preset = os.environ.get("SURFH_BENCH_PRESET", "medium")
-    cfg = PRESETS[preset]
+    preset = os.environ.get("SURFH_BENCH_PRESET", "flagship")
     reps = int(os.environ.get("SURFH_BENCH_REPS", "5"))
-
+    chain = int(os.environ.get("SURFH_BENCH_CHAIN", "10"))
     wblur_impl = os.environ.get("SURFH_WBLUR_IMPL", "dense")
-    model, setup = make_model(dtype=jnp.float32, wblur_impl=wblur_impl, **cfg)
+
+    if preset == "flagship":
+        from surfh_tpu.simulation.flagship import make_flagship_model
+
+        model, setup = make_flagship_model(wblur_impl=wblur_impl)
+    else:
+        from surfh_tpu.simulation.synthetic import make_model
+
+        model, setup = make_model(
+            dtype=jnp.float32, wblur_impl=wblur_impl, **PRESETS[preset]
+        )
     maps = jnp.asarray(setup["maps"], jnp.float32)
 
     # Chain CHAIN applications sequentially inside one jitted call (like CG
     # iterations) and fetch a scalar: one host↔device round trip per timing
     # sample, so tunnel latency doesn't pollute the kernel time.
-    chain = int(os.environ.get("SURFH_BENCH_CHAIN", "10"))
+    if model.window_local:
+        tables = model.device_tables()
 
-    @jax.jit
-    def fwd_adj_chain(x):
-        def body(i, carry):
-            x, acc = carry
-            out = model.adjoint_fn(model._forward_fn(x + acc * 1e-30))
-            return x, acc + jnp.sum(out)
+        @jax.jit
+        def fwd_adj_chain(x, tables):
+            def body(i, carry):
+                x, acc = carry
+                out = model._adjoint_fn_tabled(
+                    model._forward_fn_tabled(x + acc * 1e-30, tables), tables
+                )
+                return x, acc + jnp.sum(out)
 
-        _, acc = jax.lax.fori_loop(0, chain, body, (x, jnp.float32(0)))
-        return acc
+            _, acc = jax.lax.fori_loop(0, chain, body, (x, jnp.float32(0)))
+            return acc
 
-    # warm-up / compile
-    float(fwd_adj_chain(maps))
+        args = (maps, tables)
+    else:
+
+        @jax.jit
+        def fwd_adj_chain(x):
+            def body(i, carry):
+                x, acc = carry
+                out = model.adjoint_fn(model._forward_fn(x + acc * 1e-30))
+                return x, acc + jnp.sum(out)
+
+            _, acc = jax.lax.fori_loop(0, chain, body, (x, jnp.float32(0)))
+            return acc
+
+        args = (maps,)
+
+    t0 = time.perf_counter()
+    compiled = fwd_adj_chain.lower(*args).compile()
+    t_compile = time.perf_counter() - t0
+    float(compiled(*args))  # warm-up run
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(fwd_adj_chain(maps))
+        float(compiled(*args))
         times.append(time.perf_counter() - t0)
     t_jax = float(np.median(times)) / chain
 
     vox = 2.0 * float(np.prod(model.cube_shape))
     gvox_s = vox / t_jax / 1e9
 
-    # CPU baseline (reference-equivalent NumPy path), one timed application.
+    # FLOPs: XLA's own cost model of the compiled chain, analytic fallback.
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_app = float(ca["flops"]) / chain
+    except Exception:
+        flops_per_app = _analytic_flops(model)
+    tflops = flops_per_app / t_jax / 1e12
+    mfu = flops_per_app / t_jax / V5E_PEAK_FLOPS
+
+    # CPU baseline (reference-equivalent NumPy path).
+    baseline_s = None
+    baseline_cfg = None
     if os.environ.get("SURFH_BENCH_SKIP_BASELINE"):
         vs_baseline = float("nan")
     else:
-        x64 = np.asarray(setup["maps"], np.float64)
-        t0 = time.perf_counter()
-        y_np = numpy_ref.spectro_forward(model, x64)
-        numpy_ref.spectro_adjoint(model, y_np)
-        t_np = time.perf_counter() - t0
-        vs_baseline = t_np / t_jax
+        recorded = dict(RECORDED_BASELINES)
+        if os.path.exists(_BASELINE_FILE):
+            with open(_BASELINE_FILE) as fh:
+                recorded.update(json.load(fh))
+        if preset in recorded:
+            rec = recorded[preset]
+            baseline_s = float(rec["seconds"])
+            baseline_cfg = rec.get("config", "recorded")
+            vs_baseline = baseline_s / t_jax
+        else:
+            x64 = np.asarray(setup["maps"], np.float64)
+            bt = []
+            for _ in range(max(1, min(3, reps))):
+                t0 = time.perf_counter()
+                y_np = numpy_ref.spectro_forward(model, x64)
+                numpy_ref.spectro_adjoint(model, y_np)
+                bt.append(time.perf_counter() - t0)
+            baseline_s = float(np.median(bt))
+            baseline_cfg = (
+                f"numpy_ref float64, scipy.fft workers=-1, 1 vCPU, "
+                f"median of {len(bt)}"
+            )
+            vs_baseline = baseline_s / t_jax
 
     print(
         json.dumps(
@@ -95,7 +208,18 @@ def main():
                 "metric": f"fwd+adjoint cube-op throughput ({preset})",
                 "value": round(gvox_s, 4),
                 "unit": "GVox/s",
-                "vs_baseline": round(vs_baseline, 2),
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline == vs_baseline else vs_baseline,
+                "preset": preset,
+                "t_app_s": round(t_jax, 6),
+                "t_compile_s": round(t_compile, 2),
+                "flops_per_app": flops_per_app,
+                "tflops": round(tflops, 3),
+                "mfu_est": round(mfu, 4),
+                "baseline_s": baseline_s,
+                "baseline_config": baseline_cfg,
+                "cube_shape": list(model.cube_shape),
+                "n_channels": len(model.channels),
+                "n_pointings": len(model.pointings[0]),
             }
         )
     )

@@ -306,6 +306,25 @@ class Channel:
             type=kind,
         )
 
+    def host_tables(self) -> dict:
+        """Large per-channel arrays as a host pytree, for the tunnel-friendly
+        "tables as jit arguments" mode.
+
+        jit embeds closed-over arrays — NumPy *and* device — as dense HLO
+        constants, so at flagship scale (~4 GB of wpsf/plan/OTF tables across
+        12 bands, BASELINE.md) the compiled program can neither fit through a
+        remote-compile tunnel nor cache compactly.  Passing this dict as an
+        argument keeps the HLO small; values live in HBM once (device_put by
+        the caller) and are shared across forward/adjoint/solver compiles."""
+        return {
+            "wpsf": self._wpsf_dev,
+            "plan_idx": self._plans_fwd_stack[0],
+            "plan_w": self._plans_fwd_stack[1],
+            "tidx": self._tplans_fwd_stack[0],
+            "tw": self._tplans_fwd_stack[1],
+            "slit_w": self.slit_weights_sub,
+        }
+
     def band_plan(self):
         """Banded-contraction plan of this channel's wpsf (built lazily)."""
         if self._band_plan is None:
@@ -398,14 +417,21 @@ class Channel:
 
         return jax.lax.fori_loop(0, S, body, out)
 
-    def _forward_one_pointing(self, xw, wpsf, impl, idx, w):
-        """One pointing's S·L·R·Sig pipeline: windowed cube → [S, λ', α]."""
+    def _forward_one_pointing(self, xw, wpsf, impl, idx, w, slit_w=None):
+        """One pointing's S·L·R·Sig pipeline: windowed cube → [S, λ', α].
+
+        `slit_w` overrides the baked slit-weight table — pass it (with idx/w
+        sourced from :meth:`host_tables`) to keep every large array a traced
+        jit argument instead of an embedded HLO constant (the tunnel-friendly
+        flagship-scale mode)."""
         n_aout = self.oshape[3]
         srf = self.srf
         nla, nlb = self.local_im_shape
         banded = impl == "banded" and wpsf is self._wpsf_dev
         off = self._box_offset
         W_ = xw.shape[0]
+        if slit_w is None:
+            slit_w = self.slit_weights_sub
         gridded = bilinear.apply_plan(idx, w, xw).reshape(W_, nla, nlb)
         if off is not None:
             # direct SRF box-sum: gather srf·n_aout rows per slit, fold the
@@ -420,7 +446,7 @@ class Channel:
             windows = self._gather_slit_windows(
                 summed, 0, (n_aout - 1) * srf + 1
             )[:, :, ::srf, :]
-        windows = windows * self.slit_weights_sub[:, jnp.newaxis, :, :]
+        windows = windows * slit_w[:, jnp.newaxis, :, :]
         if banded:
             import jax as _jax
 
@@ -433,22 +459,29 @@ class Channel:
             ).astype(xw.dtype)
         return wblur.wblur_sum_beta_batched(windows, wpsf)
 
-    def _forward_windowed_impl(self, xw, wpsf, impl):
+    def _forward_windowed_impl(self, xw, wpsf, impl, tables=None):
+        if tables is None:
+            plans = self._plans_fwd_dev
+            stack = self._plans_fwd_stack
+            slit_w = None
+        else:
+            stack = (tables["plan_idx"], tables["plan_w"])
+            plans = [(stack[0][p], stack[1][p]) for p in range(len(self.pointings))]
+            slit_w = tables["slit_w"]
         if not self.pointing_scan:
             # unrolled: constant gather tables, full cross-pointing fusion
             return jnp.stack(
                 [
-                    self._forward_one_pointing(xw, wpsf, impl, idx, w)
-                    for idx, w in self._plans_fwd_dev
+                    self._forward_one_pointing(xw, wpsf, impl, idx, w, slit_w)
+                    for idx, w in plans
                 ]
             )
-        idx_stack, w_stack = self._plans_fwd_stack
 
         def body(_, plan):
             idx, w = plan
-            return None, self._forward_one_pointing(xw, wpsf, impl, idx, w)
+            return None, self._forward_one_pointing(xw, wpsf, impl, idx, w, slit_w)
 
-        _, per_pointing = jax.lax.scan(body, None, (idx_stack, w_stack))
+        _, per_pointing = jax.lax.scan(body, None, stack)
         return per_pointing
 
     def _forward_fn(self, cube):
@@ -496,15 +529,18 @@ class Channel:
         """
         return self._adjoint_windowed_fast_impl(y, self.n_wslice, self._wpsf_dev)
 
-    def _adjoint_windowed_fast_impl(self, y, W: int, wpsf):
+    def _adjoint_windowed_fast_impl(self, y, W: int, wpsf, tables=None):
         """Scanned-over-pointings body of the fast adjoint.  `W` / `wpsf` are
-        parameters so λ-sharded callers can run it on a window sub-span."""
+        parameters so λ-sharded callers can run it on a window sub-span;
+        `tables` (from :meth:`host_tables`) sources the transpose-plan and
+        slit-weight arrays as traced arguments instead of HLO constants."""
         n_aout = self.oshape[3]
         srf = self.srf
         nla, nlb = self.local_im_shape
         sb = self.slit_shape[2]
         K = wpsf.shape[0]
         S = self.oshape[1]
+        slit_w = self.slit_weights_sub if tables is None else tables["slit_w"]
         banded = self.wblur_impl == "banded" and wpsf is self._wpsf_dev
         if banded:
             import jax as _jax
@@ -531,7 +567,7 @@ class Channel:
                     preferred_element_type=yp.dtype,
                 ).reshape(S, n_aout, W, sb)
                 win_t = jnp.transpose(win_t, (0, 2, 1, 3))
-            win_t = win_t * self.slit_weights_sub[:, jnp.newaxis, :, :]
+            win_t = win_t * slit_w[:, jnp.newaxis, :, :]
             if off is not None:
                 # transpose of the direct box-sum: broadcast each window row
                 # over its srf source rows, contiguous block adds, no FFT
@@ -558,13 +594,19 @@ class Channel:
                 tidx, tw, gridded_t.reshape(W, -1), self.imshape
             )
 
+        if tables is None:
+            tidx_stack, tw_stack = self._tplans_fwd_stack
+            tplans = [(t.idx, t.w) for t in self._tplans_fwd]
+        else:
+            tidx_stack, tw_stack = tables["tidx"], tables["tw"]
+            tplans = [
+                (tidx_stack[p], tw_stack[p]) for p in range(len(self.pointings))
+            ]
         if not self.pointing_scan:
             out = jnp.zeros((W,) + self.imshape, y.dtype)
-            for p_idx, t in enumerate(self._tplans_fwd):
-                out = out + one_pointing(y[p_idx], t.idx, t.w)
+            for p_idx, (ti, tw) in enumerate(tplans):
+                out = out + one_pointing(y[p_idx], ti, tw)
             return out
-
-        tidx_stack, tw_stack = self._tplans_fwd_stack
 
         def body(acc, xs):
             yp, tidx, tw = xs

@@ -64,7 +64,18 @@ class SpectroSigRLSCT(LinOp):
         gridding: str = "bilinear",
         wblur_impl: str = "dense",
         wblur_band_rtol: float = 0.0,
+        window_local: bool = False,
     ):
+        # Flagship-scale mode: evaluate T·C per channel λ-window and pass all
+        # large tables (sotf, templates, wpsf, gather plans) as jit ARGUMENTS
+        # instead of closed-over constants.  jit inlines closures as dense HLO
+        # constants, so at the reference's real problem size (cube ≈ 3879λ ×
+        # 501², sotf ≈ 3.9 GB complex64 — scripts/main_fusion.py:34-39) the
+        # constant-embedding design can't compile through a remote-compile
+        # tunnel nor cache; the tabled program's HLO stays KBs.  The math is
+        # identical: the spatial FFT conv (C) is per-λ-plane, and the LMM (T)
+        # is per-λ, so slicing the window before T·C commutes exactly.
+        self.window_local = bool(window_local)
         self.sotf = np.asarray(sotf)
         self.alpha_axis = np.asarray(alpha_axis, np.float64)
         self.beta_axis = np.asarray(beta_axis, np.float64)
@@ -130,9 +141,97 @@ class SpectroSigRLSCT(LinOp):
         self._templates_dev = (
             np.asarray(self.templates, npdtype) if self.lmm else None
         )
-        self._forward_jit = jax.jit(self._forward_fn)
+        self._dev_tables = None
+        if self.window_local:
+            self._forward_jit = jax.jit(self._forward_fn_tabled)
+            self._adjoint_fast_jit = jax.jit(self._adjoint_fn_tabled)
+        else:
+            self._forward_jit = jax.jit(self._forward_fn)
+            self._adjoint_fast_jit = None
         self._fwadj_jit = None
-        self._adjoint_fast_jit = None
+
+    # ------------------------------------------------------------------
+    # tables-as-arguments mode (window_local=True)
+    def host_tables(self) -> dict:
+        """All large model arrays as one host pytree (see `window_local`)."""
+        return {
+            "sotf": self._sotf_dev,
+            "tpl": self._templates_dev,
+            "chan": tuple(chan.host_tables() for chan in self.channels),
+        }
+
+    def device_tables(self):
+        """Device-resident tables, uploaded once and cached."""
+        if self._dev_tables is None:
+            self._dev_tables = jax.device_put(self.host_tables())
+        return self._dev_tables
+
+    def solver_args(self) -> tuple:
+        """Extra trailing args solvers must thread through to the pure fns."""
+        return (self.device_tables(),) if self.window_local else ()
+
+    def _channel_fwd_tabled(self, x, c: int, tables):
+        """One channel's T·C·(S·L·R·Sig) over its λ-window, tables as args."""
+        chan = self.channels[c]
+        t = tables["chan"][c]
+        wsl = chan.wslice
+        sotf_w = jax.lax.slice_in_dim(tables["sotf"], wsl.start, wsl.stop, axis=0)
+        if self.lmm:
+            tpl_w = jax.lax.slice_in_dim(tables["tpl"], wsl.start, wsl.stop, axis=1)
+            cube_w = lmm.lmm_maps2cube(x, tpl_w)
+        else:
+            cube_w = jax.lax.slice_in_dim(x, wsl.start, wsl.stop, axis=0)
+        blurred = fft.idft(fft.dft(cube_w) * sotf_w, self.imshape)
+        return chan._forward_windowed_impl(blurred, t["wpsf"], "dense", tables=t)
+
+    def _channel_adj_tabled(self, yc, c: int, tables):
+        """Exact transpose of :meth:`_channel_fwd_tabled` (maps/cube-window)."""
+        chan = self.channels[c]
+        t = tables["chan"][c]
+        wsl = chan.wslice
+        sotf_w = jax.lax.slice_in_dim(tables["sotf"], wsl.start, wsl.stop, axis=0)
+        cube_w = chan._adjoint_windowed_fast_impl(
+            yc, chan.n_wslice, t["wpsf"], tables=t
+        )
+        blurred_t = fft.idft(fft.dft(cube_w) * jnp.conj(sotf_w), self.imshape)
+        if self.lmm:
+            tpl_w = jax.lax.slice_in_dim(tables["tpl"], wsl.start, wsl.stop, axis=1)
+            return lmm.lmm_cube2maps(blurred_t, tpl_w)
+        return blurred_t
+
+    def _forward_fn_tabled(self, x, tables):
+        outs = []
+        for c in range(len(self.channels)):
+            outs.append(self._channel_fwd_tabled(x, c, tables).ravel())
+        return jnp.concatenate(outs)
+
+    def _adjoint_fn_tabled(self, y, tables):
+        y = jnp.asarray(y, self.dtype).reshape(self.oshape)
+        if self.lmm:
+            acc = jnp.zeros(self.ishape, self.dtype)
+        else:
+            acc = jnp.zeros(self.cube_shape, self.dtype)
+        for c, chan in enumerate(self.channels):
+            yc = y[int(self._idx[c]) : int(self._idx[c + 1])].reshape(chan.oshape)
+            contrib = self._channel_adj_tabled(yc, c, tables)
+            if self.lmm:
+                acc = acc + contrib
+            else:
+                acc = acc.at[chan.wslice.start : chan.wslice.stop].add(contrib)
+        return acc
+
+    def _normal_fn_tabled(self, x, tables):
+        """Fused HᵗH x — per-channel fwd∘adj without materializing the flat y."""
+        acc = jnp.zeros(self.ishape, self.dtype)
+        for c in range(len(self.channels)):
+            yc = self._channel_fwd_tabled(x, c, tables)
+            contrib = self._channel_adj_tabled(yc, c, tables)
+            if self.lmm:
+                acc = acc + contrib
+            else:
+                chan = self.channels[c]
+                acc = acc.at[chan.wslice.start : chan.wslice.stop].add(contrib)
+        return acc
 
     # ------------------------------------------------------------------
     def _forward_fn(self, x):
@@ -150,14 +249,30 @@ class SpectroSigRLSCT(LinOp):
         return jnp.concatenate(outs)
 
     def forward(self, x):
-        return self._forward_jit(jnp.asarray(x, self.dtype).reshape(self.ishape))
+        x = jnp.asarray(x, self.dtype).reshape(self.ishape)
+        if self.window_local:
+            return self._forward_jit(x, self.device_tables())
+        return self._forward_jit(x)
 
-    def forward_fn(self, x):
-        """Pure function (for jit composition in solvers)."""
+    def forward_fn(self, x, *op_args):
+        """Pure function (for jit composition in solvers).
+
+        In `window_local` mode the device-table pytree must be threaded
+        through as the trailing argument (see :meth:`solver_args`)."""
+        if self.window_local:
+            return self._forward_fn_tabled(x, *op_args)
         return self._forward_fn(x)
 
     # ------------------------------------------------------------------
-    def adjoint_fn(self, y):
+    def adjoint_fn(self, y, *op_args):
+        if self.window_local:
+            return self._adjoint_fn_tabled(y, *op_args)
+        return self._adjoint_fn_const(y)
+
+    def adjoint_fn_const(self, y):
+        return self._adjoint_fn_const(y)
+
+    def _adjoint_fn_const(self, y):
         """Hand-written exact transpose of :meth:`_forward_fn` (pure fn).
 
         Mathematically identical to the derived `linear_transpose` (the
@@ -187,11 +302,12 @@ class SpectroSigRLSCT(LinOp):
 
     def adjoint(self, y):
         """Exact adjoint (hand-optimized path; see :meth:`adjoint_fn`)."""
+        y = jnp.asarray(y, self.dtype).reshape(self.oshape)
+        if self.window_local:
+            return self._adjoint_fast_jit(y, self.device_tables())
         if self._adjoint_fast_jit is None:
-            self._adjoint_fast_jit = jax.jit(self.adjoint_fn)
-        return self._adjoint_fast_jit(
-            jnp.asarray(y, self.dtype).reshape(self.oshape)
-        )
+            self._adjoint_fast_jit = jax.jit(self._adjoint_fn_const)
+        return self._adjoint_fast_jit(y)
 
     def adjoint_auto(self, y):
         """Derived `linear_transpose` adjoint (reference for tests).
@@ -306,24 +422,28 @@ class SpectroSigRLSCT(LinOp):
         weighted_mean = np.divide(total, valid, where=valid != 0)
         return weighted_mean, global_img
 
+    def _mask_group_leads(self):
+        """First band of each MIRI channel (the reference's `ch = i*3` over
+        its fixed 12-band A/B/C-ordered list, spectroModel.py:296-297),
+        generalized: group by the channel digit in the band name when names
+        look like MIRI bands, else fall back to consecutive triples — so
+        non-multiple-of-3 band lists produce sensible groups."""
+        leads, seen = [], set()
+        for i, chan in enumerate(self.channels):
+            name = str(getattr(chan.instr, "name", "") or "")
+            key = name[0] if name[:1].isdigit() else f"g{i // 3}"
+            if key not in seen:
+                seen.add(key)
+                leads.append(i)
+        return leads
+
     def make_mask(self, all_data, threshold: float = 50.0, nslice: int = 50):
         """One binary spatial mask per channel group (reference :289-338):
-        re-project one detector λ-slice of each channel-1 band to the sky and
-        threshold the co-added image."""
+        re-project one detector λ-slice of the first band of each channel
+        onto the sky — the `plot_slice` re-projection, NO spectral blur —
+        and threshold the co-added image."""
         masks = []
-        n_groups = max(1, len(self.channels) // 3)
-        for i in range(n_groups):
-            ch = i * 3
-            chan = self.channels[ch]
-            block = self.split(all_data)[ch]
-            data = block[:, :, nslice, :]
-            global_img = np.zeros(self.imshape)
-            for p_idx in range(len(chan.pointings)):
-                y = np.zeros(chan.oshape)
-                y[p_idx, :, 0, :] = data[p_idx] / (
-                    chan.slicer.npix_slit_beta_width * chan.srf
-                )
-                img = np.asarray(chan.adjoint_interp(y))[0]
-                global_img += img
+        for ch in self._mask_group_leads():
+            _, global_img = self.plot_slice(all_data, ch, nslice)
             masks.append(global_img > threshold)
         return masks

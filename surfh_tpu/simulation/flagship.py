@@ -1,0 +1,194 @@
+"""The reference's real flagship fusion problem at full scale.
+
+Mirrors the workload of `/root/reference/scripts/main_fusion.py:34-39` and
+`fusion_real_data_multi_chan.py:443-461` (BASELINE.md): 12 MIRI MRS bands ×
+4 dither pointings, 501² sky grid at the common super-resolution step, a
+global cube λ axis built from the union of the 12 detector wavelength tables
+subsampled ×3 (the reference's `wavel_axis.npy` is the instrument tables with
+the same ×3 spectral smoothing, simulation_data.py:12-133 — ours lands at
+~3879 samples vs the reference's 3182), λ-dependent PSF OTF, and LMM
+templates.  Ground truth is synthetic (smooth positive spectra × random
+abundance maps) — the benchmark measures operator/solver throughput, not
+astrophysics.
+
+Everything is sized so the model MUST run in `window_local` tables-as-args
+mode: the full sotf alone is ~3.9 GB complex64.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+import dataclasses
+
+from ..core.fft import ir2fr
+from ..instrument import miri, wavelength_mrs
+from ..instrument.geometry import CoordList
+from ..utils.psf import gaussian_psf
+
+# The reference's flagship runs at a fixed 0.025″ super-resolution step
+# (main_fusion.py:74) with SRF = det_pix // step = [7, 7, 9, 10] per channel.
+FLAGSHIP_STEP_ARCSEC = 0.025
+
+
+def flagship_instruments(bands: Optional[List[str]] = None) -> list:
+    """The 12 bands with their FULL detector wavelength tables.
+
+    Matches `create_instruments` (main_fusion.py:103-134): FOV in degrees,
+    centered origin, `wavelength_mrs` grids (1050/1213/… samples — the PCE
+    calibration grids used by `miri.fusion_bands` are ~5× coarser), pce=None.
+    """
+    if bands is None:
+        bands = list(miri.BANDS)
+    return [
+        dataclasses.replace(
+            ifu, wavel_axis=wavelength_mrs.get_mrs_wavelength(b), pce=None
+        )
+        for b, ifu in zip(bands, miri.fusion_bands(bands))
+    ]
+
+
+def flagship_wavel_axis(bands: Optional[List[str]] = None, subsample: int = 3) -> np.ndarray:
+    """Global cube λ axis: sorted union of the detector tables, ×`subsample`.
+
+    The reference's `wavel_axis.npy` is the instrument tables with the same
+    ×3 spectral smoothing (simulation_data.py:12-133), ≈3182 samples; the
+    exact union lands at ~3879.
+    """
+    if bands is None:
+        bands = miri.BANDS
+    wavel = np.sort(
+        np.concatenate([wavelength_mrs.get_mrs_wavelength(b) for b in bands])
+    )
+    return wavel[::subsample].copy()
+
+
+def make_flagship_setup(
+    npix: int = 501,
+    bands: Optional[List[str]] = None,
+    n_pointings: int = 4,
+    n_tpl: int = 4,
+    lambda_subsample: int = 3,
+    seed: int = 19940407,
+):
+    """Build the flagship-scale problem inputs (host arrays only).
+
+    Returns the same dict keys as `synthetic.make_setup` so the model
+    builders and bench are interchangeable.
+    """
+    if bands is None:
+        bands = list(miri.BANDS)
+    return _make_setup_from_instrs(
+        flagship_instruments(bands), bands, npix, n_pointings, n_tpl,
+        lambda_subsample, seed,
+    )
+
+
+def make_allband_setup(
+    npix: int = 101,
+    bands: Optional[List[str]] = None,
+    n_pointings: int = 4,
+    n_tpl: int = 4,
+    lambda_subsample: int = 1,
+    seed: int = 19940407,
+):
+    """All-band problem on the PCE calibration λ grids (~201 samples/band —
+    ~5× coarser than the detector tables): the BASELINE config-5 workload
+    (all 12 bands + NMF templates) at a compile-light size.  Same dict keys
+    as :func:`make_flagship_setup`."""
+    if bands is None:
+        bands = list(miri.BANDS)
+    return _make_setup_from_instrs(
+        miri.fusion_bands(bands), bands, npix, n_pointings, n_tpl,
+        lambda_subsample, seed,
+    )
+
+
+def _make_setup_from_instrs(
+    instrs, bands, npix, n_pointings, n_tpl, lambda_subsample, seed,
+):
+    rng = np.random.default_rng(seed)
+
+    step = FLAGSHIP_STEP_ARCSEC
+    step_degree = step / 3600.0
+    alpha_axis = (np.arange(npix) - npix / 2) * step_degree
+    beta_axis = (np.arange(npix) - npix / 2) * step_degree
+
+    wavelength_axis = np.sort(
+        np.concatenate([np.asarray(ifu.wavel_axis) for ifu in instrs])
+    )[::lambda_subsample].copy()
+    n_lambda = len(wavelength_axis)
+
+    # Smooth positive spectra: broad ramps + a few Gaussian emission bumps,
+    # qualitatively like the Orion NMF templates the reference loads.
+    lam01 = (wavelength_axis - wavelength_axis[0]) / (
+        wavelength_axis[-1] - wavelength_axis[0]
+    )
+    templates = np.empty((n_tpl, n_lambda))
+    for m in range(n_tpl):
+        t = 0.5 + 0.5 * (m + 1) / n_tpl * lam01
+        for _ in range(3):
+            c, w, a = rng.uniform(0.05, 0.95), rng.uniform(0.01, 0.1), rng.uniform(0.5, 2.0)
+            t = t + a * np.exp(-((lam01 - c) ** 2) / (2 * w**2))
+        templates[m] = t
+    maps = rng.random((n_tpl, npix, npix))
+
+    # λ-dependent gaussian PSF stack → non-unitary OTF, built in float32 /
+    # complex64 chunks (the full sotf is ~3.9 GB complex64 — BASELINE.md).
+    sotf = np.empty((n_lambda, npix, npix // 2 + 1), np.complex64)
+    chunk = 256
+    for i in range(0, n_lambda, chunk):
+        psf = gaussian_psf(wavelength_axis[i : i + chunk], step).astype(np.float32)
+        sotf[i : i + chunk] = ir2fr(psf, (npix, npix)).astype(np.complex64)
+
+    dith = np.asarray(miri.dithering)[:n_pointings] / 3600.0
+    pts = CoordList.from_array(dith)
+    pointings = [pts for _ in instrs]
+
+    return dict(
+        maps=maps,
+        templates=templates,
+        wavelength_axis=wavelength_axis,
+        alpha_axis=alpha_axis,
+        beta_axis=beta_axis,
+        sotf=sotf,
+        instrs=instrs,
+        pointings=pointings,
+        step_degree=step_degree,
+        im_shape=(npix, npix),
+        bands=bands,
+    )
+
+
+def make_flagship_model(
+    setup: Optional[dict] = None,
+    dtype=None,
+    wblur_impl: str = "dense",
+    window_local: bool = True,
+    **kwargs,
+):
+    """Build the flagship `SpectroSigRLSCT` in window-local tabled mode."""
+    import jax.numpy as jnp
+
+    from ..models.spectro import SpectroSigRLSCT
+
+    if setup is None:
+        setup = make_flagship_setup(**kwargs)
+    if dtype is None:
+        dtype = jnp.float32
+    model = SpectroSigRLSCT(
+        setup["sotf"],
+        setup["templates"],
+        setup["alpha_axis"],
+        setup["beta_axis"],
+        setup["wavelength_axis"],
+        setup["instrs"],
+        setup["step_degree"],
+        setup["pointings"],
+        dtype=dtype,
+        wblur_impl=wblur_impl,
+        window_local=window_local,
+    )
+    return model, setup

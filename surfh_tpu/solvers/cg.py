@@ -42,18 +42,18 @@ _LCG_CACHE: dict = {}
 _MMMG_CACHE: dict = {}
 
 
-def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str, fresh: bool):
-    key = (id(normal_op), id(M), max_iter, shape, dtype_str, fresh)
+def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str, fresh: bool, n_args: int):
+    key = (id(normal_op), id(M), max_iter, shape, dtype_str, fresh, n_args)
     if key in _LCG_CACHE:
         return _LCG_CACHE[key][0]
 
     prec = M if M is not None else (lambda r: r)
 
     @jax.jit
-    def run(init, b, tol):
+    def run(init, b, tol, *op_args):
         if fresh:  # init is x0
             x0 = init
-            r0 = b - normal_op(x0)
+            r0 = b - normal_op(x0, *op_args)
             z0 = prec(r0)
             p0 = z0
             rz0 = jnp.vdot(r0, z0).real
@@ -71,7 +71,7 @@ def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str, fresh: bool):
 
         def body(state):
             x, r, z, p, rz, it, norms = state
-            qp = normal_op(p)
+            qp = normal_op(p, *op_args)
             alpha = rz / jnp.vdot(p, qp).real
             x = x + alpha * p
             r = r - alpha * qp
@@ -101,8 +101,14 @@ def lcg(
     callback: Optional[Callable] = None,
     state=None,
     return_state: bool = False,
+    op_args: tuple = (),
 ) -> SolverResult:
     """Linear CG for Q x = b with Q = `normal_op` (SPD).
+
+    `op_args` are extra trailing arguments threaded through to `normal_op`
+    on every application — device-resident model tables in the flagship's
+    `window_local` mode (closed-over arrays would be inlined as HLO
+    constants; arguments keep the compiled loop small).
 
     `tol` matches the qmm convention: stop when ‖∇J‖ = ‖Qx − b‖ ≤ tol·‖b‖.
     The loop runs entirely under jit; per-iteration gradient norms are
@@ -119,9 +125,13 @@ def lcg(
 
     M = precond if precond is not None else None
     fresh = state is None
-    run = _lcg_compiled(normal_op, M, max_iter, x0.shape, str(x0.dtype), fresh)
+    run = _lcg_compiled(
+        normal_op, M, max_iter, x0.shape, str(x0.dtype), fresh, len(op_args)
+    )
     init = x0 if fresh else tuple(jnp.asarray(s) for s in state)
-    x, norms, it, gnorm0, final_state = run(init, b, jnp.asarray(tol, x0.dtype))
+    x, norms, it, gnorm0, final_state = run(
+        init, b, jnp.asarray(tol, x0.dtype), *op_args
+    )
     # fetch the iteration count as f32 (some TPU runtimes cannot transfer
     # integer scalars device->host)
     it = int(float(jnp.asarray(it, jnp.float32)))
@@ -146,18 +156,22 @@ def mmmg(
     max_iter: int = 100,
     tol: float = 1e-12,
     callback: Optional[Callable] = None,
+    op_args: tuple = (),
 ) -> SolverResult:
     """MM memory-gradient for the quadratic J(x) = ½xᵀQx − bᵀx.
 
     Each step minimizes J exactly over span{−∇J, x − x_prev} (a 2×2 linear
-    solve) — the quadratic specialization of `qmm.mmmg`.
+    solve) — the quadratic specialization of `qmm.mmmg`.  `op_args` as in
+    :func:`lcg`.
     """
     x0 = jnp.asarray(x0)
     b = jnp.asarray(b, x0.dtype)
 
-    key = (id(normal_op), max_iter, x0.shape, str(x0.dtype))
+    key = (id(normal_op), max_iter, x0.shape, str(x0.dtype), len(op_args))
     if key in _MMMG_CACHE:
-        x, norms, it, gnorm0 = _MMMG_CACHE[key][0](x0, b, jnp.asarray(tol, x0.dtype))
+        x, norms, it, gnorm0 = _MMMG_CACHE[key][0](
+            x0, b, jnp.asarray(tol, x0.dtype), *op_args
+        )
         it = int(float(jnp.asarray(it, jnp.float32)))
         res = SolverResult(
             x=np.asarray(x),
@@ -170,8 +184,8 @@ def mmmg(
         return res
 
     @jax.jit
-    def run(x0, b, tol):
-        g0 = normal_op(x0) - b
+    def run(x0, b, tol, *op_args):
+        g0 = normal_op(x0, *op_args) - b
         bnorm = jnp.linalg.norm(b.ravel())
         norms = jnp.zeros((max_iter,), x0.dtype)
 
@@ -182,8 +196,8 @@ def mmmg(
         def body(state):
             x, g, d_prev, it, norms = state
             d0 = -g
-            q0 = normal_op(d0)
-            q1 = normal_op(d_prev)
+            q0 = normal_op(d0, *op_args)
+            q1 = normal_op(d_prev, *op_args)
             # minimize J(x + a·d0 + c·d_prev): solve the 2×2 Gram system
             a00 = jnp.vdot(d0, q0).real
             a01 = jnp.vdot(d0, q1).real
@@ -201,7 +215,7 @@ def mmmg(
             return x, g, step, it + 1, norms
 
         # first iteration: steepest descent (no memory direction yet)
-        q0 = normal_op(-g0)
+        q0 = normal_op(-g0, *op_args)
         alpha = jnp.vdot(g0, g0).real / jnp.vdot(-g0, q0).real
         x1 = x0 - alpha * (-(-g0))
         x1 = x0 + alpha * (-g0)
@@ -212,7 +226,7 @@ def mmmg(
         return x, norms, it, jnp.linalg.norm(g0.ravel())
 
     _MMMG_CACHE[key] = (run, normal_op)
-    x, norms, it, gnorm0 = run(x0, b, jnp.asarray(tol, x0.dtype))
+    x, norms, it, gnorm0 = run(x0, b, jnp.asarray(tol, x0.dtype), *op_args)
     # fetch the iteration count as f32 (some TPU runtimes cannot transfer
     # integer scalars device->host)
     it = int(float(jnp.asarray(it, jnp.float32)))

@@ -106,10 +106,15 @@ class QuadCriterion_MRS:
 
         fwd = model_spectro.forward_fn if hasattr(model_spectro, "forward_fn") else model_spectro.forward
         self._fwd = fwd
+        # Extra trailing op args (device-resident tables in the flagship's
+        # window_local mode) threaded through every operator application.
+        self._op_args = (
+            model_spectro.solver_args() if hasattr(model_spectro, "solver_args") else ()
+        )
         if hasattr(model_spectro, "adjoint_fn"):
             # hand-optimized exact transpose (e.g. SpectroSigRLSCT.adjoint_fn)
             adj_fn = jax.jit(model_spectro.adjoint_fn)
-            self._adj = lambda y: (adj_fn(y),)
+            self._adj = lambda y, *a: (adj_fn(y, *a),)
         else:
             primal = jax.ShapeDtypeStruct(self.shape_of_output, self.dtype)
             transpose = build_transpose(fwd, primal)
@@ -126,11 +131,22 @@ class QuadCriterion_MRS:
             raise ValueError("use_fwadj=True requires the model to define fwadj")
         fwadj = model_spectro.fwadj if use_fwadj else None
 
-        def normal_op(x):
+        # Prefer a fused HᵗH when the model provides one (the window_local
+        # flagship's per-channel fwd∘adj avoids materializing the flat y).
+        fused_normal = getattr(model_spectro, "_normal_fn_tabled", None)
+        use_fused = (
+            fwadj is None
+            and fused_normal is not None
+            and getattr(model_spectro, "window_local", False)
+        )
+
+        def normal_op(x, *op_args):
             if fwadj is not None:
                 hthx = fwadj(x)
+            elif use_fused:
+                hthx = fused_normal(x, *op_args)
             else:
-                hthx = self._adj(fwd(x))[0]
+                hthx = self._adj(fwd(x, *op_args), *op_args)[0]
             if gradient == "separated":
                 reg = dtd_separated(x)
             else:
@@ -144,7 +160,7 @@ class QuadCriterion_MRS:
     @property
     def b(self):
         if self._b is None:
-            self._b = self.mu_spectro * self._adj(self.y_spectro)[0]
+            self._b = self.mu_spectro * self._adj(self.y_spectro, *self._op_args)[0]
         return self._b
 
     def run_method(
@@ -170,10 +186,12 @@ class QuadCriterion_MRS:
             res = lcg(
                 self.normal_op, self.b, init, max_iter=maximum_iterations,
                 tol=tolerance, state=solver_state, return_state=return_state,
+                op_args=self._op_args,
             )
         else:
             res = mmmg(
-                self.normal_op, self.b, init, max_iter=maximum_iterations, tol=tolerance
+                self.normal_op, self.b, init, max_iter=maximum_iterations,
+                tol=tolerance, op_args=self._op_args,
             )
         if self.printing:
             print(f"Total time needed for {method}: {time.perf_counter() - t0:.3f}s")
@@ -184,7 +202,9 @@ class QuadCriterion_MRS:
 
     def get_crit_val(self, x_hat) -> float:
         x_hat = jnp.asarray(x_hat, self.dtype).reshape(self.shape_of_output)
-        data_term = self.mu_spectro * jnp.sum((self.y_spectro - self._fwd(x_hat)) ** 2)
+        data_term = self.mu_spectro * jnp.sum(
+            (self.y_spectro - self._fwd(x_hat, *self._op_args)) ** 2
+        )
         if self.gradient == "separated":
             reg = self.mu_reg * jnp.sum(diff_rows(x_hat) ** 2 + diff_cols(x_hat) ** 2)
         else:

@@ -1,0 +1,104 @@
+"""window_local tables-as-args flagship mode: equivalence with const mode.
+
+The tabled program must be mathematically identical to the constant-embedding
+program (the spatial FFT conv and the LMM are per-λ-plane, so window slicing
+commutes), and its HLO must stay small (no inlined multi-MB constants) — the
+property that makes the reference-scale problem compilable through the
+remote-compile tunnel (VERDICT r1 item 2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surfh_tpu.simulation.synthetic import make_model, make_setup
+
+
+@pytest.fixture(scope="module")
+def pair():
+    setup = make_setup(
+        im_size=41, n_lambda=36, n_tpl=3, n_channels=2, n_pointings=2, n_slit=3
+    )
+    const_model, _ = make_model(setup=setup, dtype=jnp.float32)
+    from surfh_tpu.models.spectro import SpectroSigRLSCT
+
+    tabled = SpectroSigRLSCT(
+        setup["sotf"], setup["templates"], setup["alpha_axis"], setup["beta_axis"],
+        setup["wavelength_axis"], setup["instrs"], setup["step_degree"],
+        setup["pointings"], dtype=jnp.float32, window_local=True,
+    )
+    return const_model, tabled, setup
+
+
+def test_forward_equivalence(pair):
+    const_model, tabled, setup = pair
+    x = np.asarray(setup["maps"], np.float32)
+    y_const = np.asarray(const_model.forward(x))
+    y_tab = np.asarray(tabled.forward(x))
+    np.testing.assert_allclose(y_tab, y_const, rtol=2e-6, atol=0)
+
+
+def test_adjoint_equivalence_and_exactness(pair):
+    const_model, tabled, setup = pair
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(tabled.oshape).astype(np.float32)
+    a_const = np.asarray(const_model.adjoint(y))
+    a_tab = np.asarray(tabled.adjoint(y))
+    scale = np.abs(a_const).max()
+    np.testing.assert_allclose(a_tab, a_const, rtol=0, atol=2e-6 * scale)
+
+    # dot test: the tabled adjoint is the exact transpose of the tabled forward
+    x = rng.standard_normal(tabled.ishape).astype(np.float32)
+    lhs = float(np.vdot(np.asarray(tabled.forward(x)), y))
+    rhs = float(np.vdot(x, a_tab))
+    assert abs(lhs - rhs) <= 1e-5 * max(abs(lhs), abs(rhs))
+
+
+def test_fused_normal_matches_composition(pair):
+    _, tabled, setup = pair
+    x = np.asarray(setup["maps"], np.float32)
+    tables = tabled.device_tables()
+    hthx = np.asarray(
+        jax.jit(tabled._normal_fn_tabled)(jnp.asarray(x), tables)
+    )
+    ref = np.asarray(tabled.adjoint(tabled.forward(x)))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(hthx, ref, rtol=0, atol=2e-6 * scale)
+
+
+def test_hlo_has_no_large_constants(pair):
+    """The raison d'être: the lowered module stays small because every large
+    table is an argument, not an inlined dense constant."""
+    _, tabled, _ = pair
+    x = jnp.zeros(tabled.ishape, jnp.float32)
+    tables = tabled.device_tables()
+    text = jax.jit(tabled._forward_fn_tabled).lower(x, tables).as_text()
+    table_bytes = sum(
+        np.asarray(leaf).nbytes for leaf in jax.tree_util.tree_leaves(tables)
+    )
+    assert table_bytes > 500_000  # the fixture's tables are big...
+    # ...but the HLO must not embed them: a dense f32 constant costs ~8+
+    # text chars per element, so an embedding module would be ≫ table_bytes.
+    assert len(text) < table_bytes
+
+
+def test_criterion_lcg_window_local(pair):
+    const_model, tabled, setup = pair
+    from surfh_tpu.solvers.criterion import QuadCriterion_MRS
+
+    x = np.asarray(setup["maps"], np.float32)
+    y = np.asarray(const_model.forward(x))
+    crit_c = QuadCriterion_MRS(1.0, y, const_model, mu_reg=5.0)
+    crit_t = QuadCriterion_MRS(1.0, y, tabled, mu_reg=5.0)
+    res_c = crit_c.run_method("lcg", maximum_iterations=12)
+    res_t = crit_t.run_method("lcg", maximum_iterations=12)
+    # per-application fp differences (different but mathematically equal
+    # programs) amplify over CG iterations; compare iterates loosely and the
+    # criterion value tightly
+    scale = np.abs(res_c.x).max()
+    np.testing.assert_allclose(res_t.x, res_c.x, rtol=0, atol=1e-3 * scale)
+    jc = crit_c.get_crit_val(res_c.x)
+    jt = crit_t.get_crit_val(res_t.x)
+    assert abs(jc - jt) <= 1e-2 * abs(jc)
+    assert res_t.grad_norm[-1] < res_t.grad_norm[0]

@@ -134,6 +134,77 @@ def fusion(fusion_data, simulated, npix, n_lambda, channels, pointings,
     click.echo(json.dumps(report))
 
 
+@cli.command("deconv-cube")
+@click.option("--npix", "-np", default=81, show_default=True)
+@click.option("--n-lambda", "-nl", default=24, show_default=True,
+              help="λ planes in the deconvolved stack.")
+@click.option("--hyper-parameter", "-hp", default=5.0, show_default=True)
+@click.option("--niter", "-ni", default=100, show_default=True)
+@click.option("--pointings", default=2, show_default=True,
+              help="Dither pointings (the reference run keeps [P1, P3]).")
+@click.option("--rectangle/--rotated", default=True, show_default=True,
+              help="Rectangle (no-rotation) or rotated-FOV gridding.")
+@click.option("--output-dir", "-o", default="./surfh_results", show_default=True)
+def deconv_cube(npix, n_lambda, hyper_parameter, niter, pointings, rectangle,
+                output_dir):
+    """λ-stack no-rotation cube deconvolution (BASELINE config 2, reference
+    scripts/deconvolution_mrs_noRotation.py semantics: rectangle-gridded
+    MRSBlurred per λ plane, quadratic criterion, lcg) — all planes batched
+    into one vmapped program and solved in a single CG."""
+    import jax.numpy as jnp
+
+    from .core.fft import ir2fr
+    from .models.blind2d import DeconvCube, MRSBlurred, MRSBlurredRectangle
+    from .simulation.synthetic import make_setup
+    from .solvers.criterion import QuadCriterion_MRS
+    from .utils import metrics
+
+    os.makedirs(output_dir, exist_ok=True)
+    setup = make_setup(
+        im_size=npix, n_lambda=n_lambda, n_channels=1, n_pointings=pointings
+    )
+    sotf_stack = np.stack(
+        [ir2fr(p, setup["im_shape"]) for p in setup["spsf"][:n_lambda]]
+    )
+    cls = MRSBlurredRectangle if rectangle else MRSBlurred
+    base = cls(
+        sotf_stack[0],
+        setup["alpha_axis"],
+        setup["beta_axis"],
+        setup["instrs"][0],
+        setup["step_degree"],
+        setup["pointings"][0],
+    )
+    model = DeconvCube(base, sotf_stack)
+
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:npix, 0:npix]
+    img = np.zeros(setup["im_shape"], np.float32)
+    for _ in range(6):
+        cx, cy = rng.integers(10, npix - 10, 2)
+        s = rng.uniform(2, 6)
+        img += rng.uniform(0.5, 2) * np.exp(
+            -((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)
+        )
+    spectra = 0.5 + rng.random(n_lambda).cumsum() / n_lambda
+    truth = spectra[:, None, None].astype(np.float32) * img
+    y = np.asarray(model.forward(truth))
+
+    t0 = time.perf_counter()
+    crit = QuadCriterion_MRS(1.0, y, model, hyper_parameter, gradient="separated")
+    res = crit.run_method("lcg", maximum_iterations=niter)
+    dt = time.perf_counter() - t0
+
+    np.save(os.path.join(output_dir, "deconv_cube_x.npy"), res.x)
+    click.echo(json.dumps({
+        "n_lambda": n_lambda,
+        "niter": int(res.n_iter),
+        "seconds": dt,
+        "iters_per_s": res.n_iter / max(dt, 1e-9),
+        "psnr": metrics.psnr(truth, res.x.reshape(model.ishape)),
+    }))
+
+
 @cli.command()
 @click.option("--npix", "-np", default=81, show_default=True)
 @click.option("--hyper-parameter", "-hp", default=500.0, show_default=True)

@@ -145,12 +145,16 @@ class _Blind2DBase(LinOp):
     def _grid(self, blurred, p_idx):
         raise NotImplementedError
 
-    def _forward_fn(self, x):
+    def _forward_fn(self, x, sotf=None):
+        """One λ plane's SigLSC forward.  `sotf` overrides the plane's OTF —
+        pass it to batch the model over a λ-stack (see :class:`DeconvCube`)."""
         n_aout = self.slices_shape[2]
         srf = self.srf
         nla, nlb = self.local_im_shape
         sb = self.slit_shape[1]
-        blurred = fft.idft(fft.dft(x) * self.sotf, self.ishape)
+        if sotf is None:
+            sotf = self.sotf
+        blurred = fft.idft(fft.dft(x) * sotf, self.ishape)
         per_pointing = []
         for p_idx in range(len(self.pointings)):
             gridded = self._grid(blurred, p_idx)
@@ -245,3 +249,56 @@ class MRSBlurredRectangle(_Blind2DBase):
     def _grid(self, blurred, p_idx):
         sa, sb = self.windows[p_idx]
         return blurred[sa, sb]
+
+
+class DeconvCube(LinOp):
+    """λ-stack no-rotation cube deconvolution (BASELINE config 2).
+
+    The reference runs its 2-D deconvolution one detector wavelength at a
+    time (scripts/deconvolution_mrs_noRotation.py:149-216 builds one
+    `MRSBlurred` per chosen λ slice with that slice's PSF).  TPU-first, the
+    λ planes are independent, identically-shaped programs — so the whole
+    stack is ONE `vmap` of the 2-D forward over (plane, OTF) pairs: a single
+    compiled batched program whose FFTs/matmuls tile the MXU W planes deep,
+    instead of W scalar re-runs.
+
+    `base` supplies the slit/pointing geometry (an :class:`MRSBlurredRectangle`
+    for noRotation semantics, or :class:`MRSBlurred` for the rotated FOV);
+    `sotf_stack` is the per-λ OTF, shape (W,) + rfft2 shape.
+    """
+
+    def __init__(self, base: _Blind2DBase, sotf_stack):
+        self.base = base
+        ctype = jnp.complex64 if base.dtype == jnp.float32 else jnp.complex128
+        self.sotf_stack = jnp.asarray(sotf_stack, ctype)
+        w = int(self.sotf_stack.shape[0])
+        self.n_lambda = w
+        self.cube_oshape = (w,) + base.slices_shape
+        super().__init__(
+            (w,) + tuple(base.ishape),
+            (w * int(np.prod(base.slices_shape)),),
+            base.dtype,
+        )
+        self._forward_jit = jax.jit(self._forward_fn)
+        self._adjoint_jit = None
+
+    def _forward_fn(self, x):
+        per_l = jax.vmap(self.base._forward_fn)(x, self.sotf_stack)
+        return per_l.ravel()
+
+    def forward_fn(self, x):
+        return self._forward_fn(x)
+
+    def forward(self, x):
+        return self._forward_jit(jnp.asarray(x, self.dtype).reshape(self.ishape))
+
+    def adjoint_fn(self, y):
+        primal = jax.ShapeDtypeStruct(self.ishape, self.dtype)
+        return jax.linear_transpose(self._forward_fn, primal)(
+            jnp.asarray(y, self.dtype).reshape(self.oshape)
+        )[0]
+
+    def adjoint(self, y):
+        if self._adjoint_jit is None:
+            self._adjoint_jit = jax.jit(self.adjoint_fn)
+        return self._adjoint_jit(y)

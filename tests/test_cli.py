@@ -41,6 +41,18 @@ def test_cli_deconv2d(tmp_path):
     assert os.path.exists(tmp_path / "deconv2d_x.npy")
 
 
+def test_cli_deconv_cube(tmp_path):
+    """BASELINE config 2 as one command (deconvolution_mrs_noRotation.py)."""
+    result = CliRunner().invoke(
+        cli,
+        ["deconv-cube", "-np", "41", "-nl", "4", "-ni", "15", "-o", str(tmp_path)],
+    )
+    assert result.exit_code == 0, result.output
+    report = json.loads(result.output.strip().splitlines()[-1])
+    assert report["niter"] > 0 and report["n_lambda"] == 4
+    assert os.path.exists(tmp_path / "deconv_cube_x.npy")
+
+
 def test_checkpoint_save_load(tmp_path):
     p = str(tmp_path / "state.npz")
     x = np.arange(12.0).reshape(3, 4)

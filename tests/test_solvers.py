@@ -136,3 +136,51 @@ class TestCriterion3D:
         # precision on an ill-conditioned Hessian lets them drift a little
         assert j_cg < 1e-3 * j0 and j_mm < 1e-3 * j0
         np.testing.assert_allclose(j_cg, j_mm, rtol=0.25)
+
+
+class TestDeconvCube:
+    """BASELINE config 2: λ-stack no-rotation cube deconvolution
+    (reference scripts/deconvolution_mrs_noRotation.py run per λ)."""
+
+    def _cube_setup(self, w=5, im=41, n_slit=3):
+        from surfh_tpu.models.blind2d import DeconvCube
+
+        base, truth2d, rng = _blind_setup(rectangle=True, im=im, n_slit=n_slit)
+        # per-λ PSFs of differing widths → distinct OTFs per plane
+        sotfs = []
+        for k in range(w):
+            s = 1.0 + 0.4 * k
+            ax = np.arange(-4, 5)
+            psf = np.exp(-(ax[:, None] ** 2 + ax[None, :] ** 2) / (2 * s * s))
+            sotfs.append(ir2fr(psf / psf.sum(), (im, im)))
+        model = DeconvCube(base, np.stack(sotfs))
+        spectra = 0.5 + np.arange(1, w + 1) / w
+        truth = spectra[:, None, None] * truth2d
+        return model, base, np.stack(sotfs), truth
+
+    def test_forward_matches_per_plane_2d(self):
+        """The vmapped stack forward == one 2-D forward per λ plane."""
+        model, base, sotfs, truth = self._cube_setup()
+        y = np.asarray(model.forward(truth)).reshape(model.cube_oshape)
+        for k in range(model.n_lambda):
+            yk = np.asarray(
+                base._forward_fn(jnp.asarray(truth[k], base.dtype), jnp.asarray(sotfs[k]))
+            ).reshape(base.slices_shape)
+            np.testing.assert_allclose(y[k], yk, rtol=1e-12)
+
+    def test_dottest(self):
+        model, *_ = self._cube_setup(w=3)
+        assert dottest(model, num=3, rtol=1e-10)
+
+    def test_end_to_end_cube_deconvolution(self):
+        model, base, _, truth = self._cube_setup()
+        y = np.asarray(model.forward(truth))
+        crit = QuadCriterion_MRS(1.0, y, model, mu_reg=1e-6, gradient="separated")
+        res = crit.run_method("lcg", maximum_iterations=150, tolerance=1e-12, value_init=0.5)
+        recon = res.x.reshape(model.ishape)
+        cover = np.asarray(base.adjoint(np.ones(base.oshape)))
+        mask = cover > 0.5 * cover.max()
+        rel = np.linalg.norm(
+            (recon - truth)[:, mask]
+        ) / np.linalg.norm(truth[:, mask])
+        assert rel < 0.05, f"relative error {rel:.3f}"

@@ -175,11 +175,65 @@ def transpose_plan(plan: BilinearPlan) -> TransposePlan:
     return TransposePlan(idx_arr, w_arr, plan.shape)
 
 
-def apply_transpose_plan(tplan: TransposePlan, values, dtype=None):
-    """Exact adjoint of :func:`apply_plan` as a padded weighted gather.
+@dataclass(frozen=True)
+class CSRTransposePlan:
+    """Sorted-COO form of a gather plan's adjoint.
+
+    The padded-gather :class:`TransposePlan` stores C = max contributions per
+    grid pixel rows; when the local grid is denser than the global one (or
+    out-of-FOV points clamp onto edge pixels — small sky grids with the real
+    MIRI FOVs) C degenerates into the thousands, exploding both the table
+    (C·N) and the unrolled per-row gather graph.  This form stays O(M) with
+    M ≈ 4·P: per (corner, point) contribution, a (source, weight,
+    destination) triple, sorted by destination, applied as ONE gather + ONE
+    sorted scatter-add.
+    """
+
+    src: np.ndarray  # int32 [M] source target-point indices
+    w: np.ndarray  # float [M] weights (0 = padding)
+    dst: np.ndarray  # int32 [M] destination grid indices, ascending
+    shape: Tuple[int, int]
+
+
+def csr_transpose_plan(plan: BilinearPlan) -> CSRTransposePlan:
+    """Build the sorted-COO transpose of a plan (host, once)."""
+    ncorner, P = plan.idx.shape
+    src = np.tile(np.arange(P, dtype=np.int64), ncorner)
+    dst = plan.idx.reshape(-1).astype(np.int64)
+    w = plan.w.reshape(-1)
+    keep = w != 0
+    src, dst, w = src[keep], dst[keep], w[keep]
+    order = np.argsort(dst, kind="stable")
+    return CSRTransposePlan(
+        src[order].astype(np.int32), w[order], dst[order].astype(np.int32),
+        plan.shape,
+    )
+
+
+def apply_csr_transpose_arrays(tsrc, tw, tdst, values, grid_shape: Tuple[int, int]):
+    """Apply a :class:`CSRTransposePlan` from its arrays (traceable args).
+
+    values: [..., P] → out [..., Na, Nb].  One gather + one sorted
+    scatter-add, independent of the per-pixel contributor count.
+    """
+    na, nb = grid_shape
+    contrib = jnp.take(values, tsrc, axis=-1) * tw
+    out = jnp.zeros(values.shape[:-1] + (na * nb,), values.dtype)
+    out = out.at[..., tdst].add(
+        contrib, indices_are_sorted=True, unique_indices=False
+    )
+    return out.reshape(values.shape[:-1] + (na, nb))
+
+
+def apply_transpose_plan(tplan, values, dtype=None):
+    """Exact adjoint of :func:`apply_plan` (either transpose-plan form).
 
     values: [..., P] → out [..., Na, Nb].
     """
+    if isinstance(tplan, CSRTransposePlan):
+        return apply_csr_transpose_arrays(
+            tplan.src, tplan.w, tplan.dst, values, tplan.shape
+        )
     return apply_transpose_plan_arrays(tplan.idx, tplan.w, values, tplan.shape)
 
 

@@ -33,6 +33,11 @@ from ..instrument.geometry import Coord, CoordList
 from ..instrument.ifu import IFU
 from .slicer import Slicer
 
+# Max per-grid-pixel contributor count for which the padded-gather transpose
+# plan stays the fast layout; above it (edge-clamping degeneracy on small sky
+# grids) the sorted-COO scatter form is used instead.
+TPLAN_DENSE_CMAX = 32
+
 
 class Channel:
     """Forward model of one IFU band across its dither pointings.
@@ -192,32 +197,70 @@ class Channel:
             np.stack([i for i, _ in self._plans_fwd_dev]),
             np.stack([w for _, w in self._plans_fwd_dev]),
         )
-        # sorted-COO transposes of the forward gather plans: the exact
-        # adjoint's 4-point scatter-add becomes gather + sorted segment-sum.
+        # Transposes of the forward gather plans.  Two layouts:
+        # - "dense" padded gather (TransposePlan): C = max contributions per
+        #   grid pixel rows, applied as C weighted gathers — scatter-free,
+        #   fastest when C is the natural 4-corner bound;
+        # - "csr" sorted-COO (CSRTransposePlan): O(M ≈ 4P) triples + ONE
+        #   sorted scatter-add.  When the sky grid is much smaller than the
+        #   instrument FOV, edge clamping drives C into the thousands and the
+        #   dense form degenerates (C·N tables, C unrolled HLO gathers — a
+        #   ~10-min trace + >10-min compile at 121²/2 bands); CSR stays flat.
         # Weights are cast to the model dtype like the forward plans —
         # float64 weights would silently promote the whole adjoint under x64
         # and trip the float64→float32 scatter-dtype check downstream.
-        self._tplans_fwd = [
-            bilinear.TransposePlan(t.idx, np.asarray(t.w, npdtype), t.shape)
-            for t in (bilinear.transpose_plan(p) for p in self.plans_fwd)
-        ]
-        # Stacked transpose plans for the scanned adjoint: pad the per-pixel
-        # contributor count C to the max over pointings (w=0 rows are inert).
-        _cmax = max(t.idx.shape[0] for t in self._tplans_fwd)
-        self._tplans_fwd_stack = (
-            np.stack(
-                [
-                    np.pad(t.idx, ((0, _cmax - t.idx.shape[0]), (0, 0)))
-                    for t in self._tplans_fwd
-                ]
-            ),
-            np.stack(
-                [
-                    np.pad(t.w, ((0, _cmax - t.w.shape[0]), (0, 0)))
-                    for t in self._tplans_fwd
-                ]
-            ),
+        _csr = [bilinear.csr_transpose_plan(p) for p in self.plans_fwd]
+        _cmax = max(
+            int(np.bincount(t.dst, minlength=1).max()) if t.dst.size else 1
+            for t in _csr
         )
+        self._tplan_kind = "dense" if _cmax <= TPLAN_DENSE_CMAX else "csr"
+        if self._tplan_kind == "dense":
+            self._tplans_fwd = [
+                bilinear.TransposePlan(t.idx, np.asarray(t.w, npdtype), t.shape)
+                for t in (bilinear.transpose_plan(p) for p in self.plans_fwd)
+            ]
+            # Stacked transpose plans for the scanned adjoint: pad C to the
+            # max over pointings (w=0 rows are inert).
+            _cpad = max(t.idx.shape[0] for t in self._tplans_fwd)
+            self._tplans_fwd_stack = (
+                np.stack(
+                    [
+                        np.pad(t.idx, ((0, _cpad - t.idx.shape[0]), (0, 0)))
+                        for t in self._tplans_fwd
+                    ]
+                ),
+                np.stack(
+                    [
+                        np.pad(t.w, ((0, _cpad - t.w.shape[0]), (0, 0)))
+                        for t in self._tplans_fwd
+                    ]
+                ),
+            )
+        else:
+            self._tplans_fwd = [
+                bilinear.CSRTransposePlan(
+                    t.src, np.asarray(t.w, npdtype), t.dst, t.shape
+                )
+                for t in _csr
+            ]
+            # pad M to the max over pointings; padding entries carry w=0 and
+            # dst=N−1 (keeps dst ascending for the sorted scatter)
+            _mmax = max(t.src.shape[0] for t in self._tplans_fwd)
+            _n_grid = int(np.prod(self._tplans_fwd[0].shape))
+
+            def _padm(a, fill):
+                return np.pad(
+                    a, (0, _mmax - a.shape[0]), constant_values=fill
+                )
+
+            self._tplans_fwd_stack = (
+                np.stack([_padm(t.src, 0) for t in self._tplans_fwd]),
+                np.stack([_padm(t.w, 0) for t in self._tplans_fwd]),
+                np.stack(
+                    [_padm(t.dst, _n_grid - 1) for t in self._tplans_fwd]
+                ),
+            )
 
         # Slit window tables, α pre-subsampled by the SRF.
         a_starts, b_starts, weights = self.slicer.slit_tables()
@@ -320,8 +363,7 @@ class Channel:
             "wpsf": self._wpsf_dev,
             "plan_idx": self._plans_fwd_stack[0],
             "plan_w": self._plans_fwd_stack[1],
-            "tidx": self._tplans_fwd_stack[0],
-            "tw": self._tplans_fwd_stack[1],
+            "tplan": self._tplans_fwd_stack,
             "slit_w": self.slit_weights_sub,
         }
 
@@ -554,7 +596,7 @@ class Channel:
         wp2d = wpsf.reshape(K, W * sb)
         off = self._box_offset
 
-        def one_pointing(yp, tidx, tw):
+        def one_pointing(yp, tplan):
             # transpose of wblur_sum_beta, all slits at once
             if banded:
                 win_t = wblur_pallas.wblur_sum_beta_t_banded(
@@ -590,32 +632,33 @@ class Channel:
                 gridded_t = fft.idft(
                     fft.dft(summed_t) * jnp.conj(self.otf_combined), (nla, nlb)
                 )
-            return bilinear.apply_transpose_plan_arrays(
-                tidx, tw, gridded_t.reshape(W, -1), self.imshape
+            if self._tplan_kind == "dense":
+                return bilinear.apply_transpose_plan_arrays(
+                    *tplan, gridded_t.reshape(W, -1), self.imshape
+                )
+            return bilinear.apply_csr_transpose_arrays(
+                *tplan, gridded_t.reshape(W, -1), self.imshape
             )
 
-        if tables is None:
-            tidx_stack, tw_stack = self._tplans_fwd_stack
-            tplans = [(t.idx, t.w) for t in self._tplans_fwd]
-        else:
-            tidx_stack, tw_stack = tables["tidx"], tables["tw"]
-            tplans = [
-                (tidx_stack[p], tw_stack[p]) for p in range(len(self.pointings))
-            ]
+        stack = (
+            self._tplans_fwd_stack if tables is None else tables["tplan"]
+        )
         if not self.pointing_scan:
             out = jnp.zeros((W,) + self.imshape, y.dtype)
-            for p_idx, (ti, tw) in enumerate(tplans):
-                out = out + one_pointing(y[p_idx], ti, tw)
+            for p_idx in range(len(self.pointings)):
+                out = out + one_pointing(
+                    y[p_idx], tuple(t[p_idx] for t in stack)
+                )
             return out
 
         def body(acc, xs):
-            yp, tidx, tw = xs
-            return acc + one_pointing(yp, tidx, tw), None
+            yp, *tplan = xs
+            return acc + one_pointing(yp, tuple(tplan)), None
 
         out, _ = jax.lax.scan(
             body,
             jnp.zeros((W,) + self.imshape, y.dtype),
-            (y, tidx_stack, tw_stack),
+            (y,) + tuple(stack),
         )
         return out
 

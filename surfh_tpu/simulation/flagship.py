@@ -17,6 +17,7 @@ mode: the full sotf alone is ~3.9 GB complex64.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -137,11 +138,34 @@ def _make_setup_from_instrs(
 
     # λ-dependent gaussian PSF stack → non-unitary OTF, built in float32 /
     # complex64 chunks (the full sotf is ~3.9 GB complex64 — BASELINE.md).
-    sotf = np.empty((n_lambda, npix, npix // 2 + 1), np.complex64)
-    chunk = 256
-    for i in range(0, n_lambda, chunk):
-        psf = gaussian_psf(wavelength_axis[i : i + chunk], step).astype(np.float32)
-        sotf[i : i + chunk] = ir2fr(psf, (npix, npix)).astype(np.complex64)
+    # Computing it costs ~10 min of single-core FFTs at flagship scale, so it
+    # is disk-cached (memmapped on reload) under SURFH_CACHE_DIR.
+    cache_dir = os.environ.get("SURFH_CACHE_DIR", "/tmp/surfh_cache")
+    cache_key = f"sotf_n{npix}_l{n_lambda}_s{step}.npy"
+    cache_path = os.path.join(cache_dir, cache_key)
+    if os.path.exists(cache_path):
+        sotf = np.load(cache_path, mmap_mode="r")
+    else:
+        sotf = np.empty((n_lambda, npix, npix // 2 + 1), np.complex64)
+        chunk = 256
+        for i in range(0, n_lambda, chunk):
+            psf = gaussian_psf(wavelength_axis[i : i + chunk], step).astype(np.float32)
+            if psf.shape[1] > npix or psf.shape[2] > npix:
+                # center-crop kernels wider than the sky grid and renormalize
+                # (same convention as synthetic.make_setup / the reference's
+                # webbpsf crop, simulation_data.py:96-133)
+                ca = max(0, (psf.shape[1] - npix) // 2)
+                cb = max(0, (psf.shape[2] - npix) // 2)
+                psf = psf[:, ca : ca + npix, cb : cb + npix]
+                psf = psf / psf.sum(axis=(1, 2), keepdims=True)
+            sotf[i : i + chunk] = ir2fr(psf, (npix, npix)).astype(np.complex64)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cache_path + ".tmp.npy"
+            np.save(tmp, sotf)
+            os.replace(tmp, cache_path)
+        except OSError:
+            pass  # cache is best-effort (read-only or full filesystem)
 
     dith = np.asarray(miri.dithering)[:n_pointings] / 3600.0
     pts = CoordList.from_array(dith)

@@ -154,8 +154,13 @@ class SpectroSigRLSCT(LinOp):
     # tables-as-arguments mode (window_local=True)
     def host_tables(self) -> dict:
         """All large model arrays as one host pytree (see `window_local`)."""
+        # sotf ships as a stacked (real, imag) float pair: complex64
+        # host->device transfer is UNIMPLEMENTED on the axon tunnel, while
+        # float32 uploads work; lax.complex rebuilds it on device for free.
         return {
-            "sotf": self._sotf_dev,
+            "sotf_ri": np.stack(
+                [self._sotf_dev.real, self._sotf_dev.imag], axis=-1
+            ),
             "tpl": self._templates_dev,
             "chan": tuple(chan.host_tables() for chan in self.channels),
         }
@@ -175,7 +180,8 @@ class SpectroSigRLSCT(LinOp):
         chan = self.channels[c]
         t = tables["chan"][c]
         wsl = chan.wslice
-        sotf_w = jax.lax.slice_in_dim(tables["sotf"], wsl.start, wsl.stop, axis=0)
+        sotf_ri = jax.lax.slice_in_dim(tables["sotf_ri"], wsl.start, wsl.stop, axis=0)
+        sotf_w = jax.lax.complex(sotf_ri[..., 0], sotf_ri[..., 1])
         if self.lmm:
             tpl_w = jax.lax.slice_in_dim(tables["tpl"], wsl.start, wsl.stop, axis=1)
             cube_w = lmm.lmm_maps2cube(x, tpl_w)
@@ -189,7 +195,8 @@ class SpectroSigRLSCT(LinOp):
         chan = self.channels[c]
         t = tables["chan"][c]
         wsl = chan.wslice
-        sotf_w = jax.lax.slice_in_dim(tables["sotf"], wsl.start, wsl.stop, axis=0)
+        sotf_ri = jax.lax.slice_in_dim(tables["sotf_ri"], wsl.start, wsl.stop, axis=0)
+        sotf_w = jax.lax.complex(sotf_ri[..., 0], sotf_ri[..., 1])
         cube_w = chan._adjoint_windowed_fast_impl(
             yc, chan.n_wslice, t["wpsf"], tables=t
         )

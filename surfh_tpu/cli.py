@@ -257,6 +257,47 @@ def deconv2d(npix, hyper_parameter, niter, rectangle, output_dir):
 
 
 @cli.command()
+@click.option("--npix", "-np", default=61, show_default=True)
+@click.option("--bands", "-b", default=None,
+              help="Comma-separated band subset (default: all 12).")
+@click.option("--pointings", default=4, show_default=True)
+@click.option("--n-templates", "-nt", default=4, show_default=True)
+@click.option("--hyper-parameter", "-hp", default=5e3, show_default=True)
+@click.option("--niter", "-ni", default=50, show_default=True)
+@click.option("--nmf-iter", default=300, show_default=True,
+              help="On-device NMF multiplicative-update iterations.")
+@click.option("--method", "-m", default="lcg",
+              type=click.Choice(["lcg", "mmmg"]), show_default=True)
+@click.option("--window-local", is_flag=True,
+              help="Tables-as-arguments mode (flagship-scale compiles).")
+@click.option("--lambda-subsample", default=1, show_default=True)
+@click.option("--output-dir", "-o", default="./surfh_results", show_default=True)
+def allband(npix, bands, pointings, n_templates, hyper_parameter, niter,
+            nmf_iter, method, window_local, lambda_subsample, output_dir):
+    """All-band fusion with on-device NMF templates (BASELINE config 5):
+    simulate 12-band data, co-add a dirty hypercube, learn NMF templates on
+    device, fuse all bands with them, report metrics + per-stage timings
+    (reference chain: notebooks/nmf_orion_allband.ipynb →
+    scripts/main_fusion.py:215-273)."""
+    from .pipeline import run_allband_simulated
+
+    report = run_allband_simulated(
+        npix=npix,
+        bands=bands.split(",") if bands else None,
+        n_pointings=pointings,
+        n_templates=n_templates,
+        mu=hyper_parameter,
+        niter=niter,
+        method=method,
+        nmf_iter=nmf_iter,
+        output_dir=output_dir,
+        window_local=window_local,
+        lambda_subsample=lambda_subsample,
+    )
+    click.echo(json.dumps(report))
+
+
+@cli.command()
 def info():
     """Print device/backend information."""
     import jax

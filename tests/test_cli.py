@@ -53,6 +53,25 @@ def test_cli_deconv_cube(tmp_path):
     assert os.path.exists(tmp_path / "deconv_cube_x.npy")
 
 
+def test_cli_allband(tmp_path):
+    """BASELINE config 5 as one command: data → dirty co-add → on-device NMF
+    → fusion with learned templates → metrics (2-band CPU-sized run)."""
+    result = CliRunner().invoke(
+        cli,
+        [
+            "allband", "-np", "31", "-b", "1a,1b", "--pointings", "2",
+            "-nt", "2", "-ni", "8", "--nmf-iter", "40",
+            "--lambda-subsample", "4", "-o", str(tmp_path),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    report = json.loads(result.output.strip().splitlines()[-1])
+    assert report["niter"] > 0 and report["bands"] == ["1a", "1b"]
+    assert "nmf_s" in report["timings_s"] and "solve_s" in report["timings_s"]
+    assert np.isfinite(report["psnr_cube"])
+    assert os.path.exists(tmp_path / "allband_templates.npy")
+
+
 def test_checkpoint_save_load(tmp_path):
     p = str(tmp_path / "state.npz")
     x = np.arange(12.0).reshape(3, 4)

@@ -154,15 +154,26 @@ class SpectroSigRLSCT(LinOp):
     # tables-as-arguments mode (window_local=True)
     def host_tables(self) -> dict:
         """All large model arrays as one host pytree (see `window_local`)."""
-        # sotf ships as a stacked (real, imag) float pair: complex64
-        # host->device transfer is UNIMPLEMENTED on the axon tunnel, while
-        # float32 uploads work; lax.complex rebuilds it on device for free.
+        # Two HBM-driven layout choices, both measured on the v5e:
+        # * sotf ships as a stacked (real, imag) float pair — complex64
+        #   host->device transfer is UNIMPLEMENTED on the axon tunnel, while
+        #   float32 uploads work; lax.complex rebuilds it on device for free.
+        # * the OTF is pre-sliced per channel λ-window on the HOST rather
+        #   than uploaded once globally and lax.slice'd in-jit: at flagship
+        #   scale the global [3879,501,251,2] array is 3.73 GB and XLA kept
+        #   TWO full relayout copies of it alive across the solver loop
+        #   (7.5 GB of HLO temp -> OOM at 16 GB HBM).  The windows overlap
+        #   (Σ W ≈ 1.27× the global axis) so per-channel slices cost ~27%
+        #   more argument HBM but eliminate both whole-array copies.
+        chans = []
+        for chan in self.channels:
+            t = dict(chan.host_tables())
+            s = self._sotf_dev[chan.wslice.start : chan.wslice.stop]
+            t["sotf_ri"] = np.stack([s.real, s.imag], axis=-1)
+            chans.append(t)
         return {
-            "sotf_ri": np.stack(
-                [self._sotf_dev.real, self._sotf_dev.imag], axis=-1
-            ),
             "tpl": self._templates_dev,
-            "chan": tuple(chan.host_tables() for chan in self.channels),
+            "chan": tuple(chans),
         }
 
     def device_tables(self):
@@ -180,7 +191,7 @@ class SpectroSigRLSCT(LinOp):
         chan = self.channels[c]
         t = tables["chan"][c]
         wsl = chan.wslice
-        sotf_ri = jax.lax.slice_in_dim(tables["sotf_ri"], wsl.start, wsl.stop, axis=0)
+        sotf_ri = t["sotf_ri"]
         sotf_w = jax.lax.complex(sotf_ri[..., 0], sotf_ri[..., 1])
         if self.lmm:
             tpl_w = jax.lax.slice_in_dim(tables["tpl"], wsl.start, wsl.stop, axis=1)
@@ -195,7 +206,7 @@ class SpectroSigRLSCT(LinOp):
         chan = self.channels[c]
         t = tables["chan"][c]
         wsl = chan.wslice
-        sotf_ri = jax.lax.slice_in_dim(tables["sotf_ri"], wsl.start, wsl.stop, axis=0)
+        sotf_ri = t["sotf_ri"]
         sotf_w = jax.lax.complex(sotf_ri[..., 0], sotf_ri[..., 1])
         cube_w = chan._adjoint_windowed_fast_impl(
             yc, chan.n_wslice, t["wpsf"], tables=t

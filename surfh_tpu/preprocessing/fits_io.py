@@ -179,6 +179,16 @@ def fits_open(path: str) -> List[HDU]:
         xtension = str(header.get("XTENSION", "")).strip()
         name = str(header.get("EXTNAME", "")).strip()
         if xtension in ("BINTABLE", "A3DTABLE"):
+            if header.get("ZIMAGE") is True:
+                # Tile-compressed image stored as a BINTABLE (RICE_1/GZIP
+                # convention, common in archive products).  Decompression is
+                # out of scope for this reader — fail loudly rather than
+                # returning the raw compressed tiles as a "table".
+                raise NotImplementedError(
+                    f"HDU {name or len(hdus)}: tile-compressed image "
+                    f"(ZIMAGE=T, ZCMPTYPE={header.get('ZCMPTYPE', '?')}) — "
+                    "decompress first (e.g. `funpack` or astropy) and rerun."
+                )
             hdus.append(HDU(header, None, _parse_bintable(header, raw), name))
         else:
             naxis = int(header.get("NAXIS", 0))
@@ -192,7 +202,14 @@ def fits_open(path: str) -> List[HDU]:
                 data = data.astype(dtype.newbyteorder("="))
                 bscale = header.get("BSCALE", 1)
                 bzero = header.get("BZERO", 0)
-                if bscale != 1 or bzero != 0:
+                blank = header.get("BLANK") if int(header["BITPIX"]) > 0 else None
+                if blank is not None:
+                    # integer undefined-pixel sentinel → NaN (must go through
+                    # float, whether or not the HDU is scaled)
+                    mask = data == int(blank)
+                    data = data.astype(np.float64) * bscale + bzero
+                    data[mask] = np.nan
+                elif bscale != 1 or bzero != 0:
                     data = data * bscale + bzero
                 hdus.append(HDU(header, data, None, name))
             else:

@@ -177,3 +177,92 @@ def test_learn_templates_nmf_shapes():
     assert maps_hat.shape == (2, 9, 9)
     recon = np.tensordot(templates.T, maps_hat, axes=1)
     assert np.linalg.norm(recon - cube) / np.linalg.norm(cube) < 0.05
+
+
+# ---------------------------------------------------------------------------
+def test_fits_scaled_multihdu_roundtrip(tmp_path):
+    """A realistic stage-2-style file: empty primary, int16 SCI HDU with
+    BSCALE/BZERO/BLANK, float32 ERR HDU, and a BINTABLE — the layout
+    `scripts/correct_mrs_data.py` consumes (reference
+    correction_mrs_data.py:122-131)."""
+    from surfh_tpu.preprocessing.fits_io import (
+        BLOCK,
+        CARD,
+        _format_card,
+        _pad_block,
+        fits_open,
+    )
+
+    rng = np.random.default_rng(0)
+    sci_f = rng.uniform(10.0, 20.0, (7, 9))
+    bscale, bzero, blank = 0.01, 15.0, -32768
+    sci_i = np.round((sci_f - bzero) / bscale).astype(np.int16)
+    sci_i[2, 3] = blank
+    err = rng.random((7, 9)).astype(np.float32)
+
+    def header(cards):
+        out = [_format_card(k, v) for k, v in cards]
+        out.append(b"END".ljust(CARD))
+        return _pad_block(b"".join(out))
+
+    buf = header([("SIMPLE", True), ("BITPIX", 8), ("NAXIS", 0)])
+    buf += header([
+        ("XTENSION", "IMAGE"), ("BITPIX", 16), ("NAXIS", 2),
+        ("NAXIS1", 9), ("NAXIS2", 7), ("EXTNAME", "SCI"),
+        ("BSCALE", bscale), ("BZERO", bzero), ("BLANK", blank),
+    ])
+    buf += _pad_block(sci_i.astype(">i2").tobytes(), b"\x00")
+    buf += header([
+        ("XTENSION", "IMAGE"), ("BITPIX", -32), ("NAXIS", 2),
+        ("NAXIS1", 9), ("NAXIS2", 7), ("EXTNAME", "ERR"),
+    ])
+    buf += _pad_block(err.astype(">f4").tobytes(), b"\x00")
+    wl = np.linspace(5.0, 7.0, 11)
+    buf += header([
+        ("XTENSION", "BINTABLE"), ("BITPIX", 8), ("NAXIS", 2),
+        ("NAXIS1", 8), ("NAXIS2", 11), ("PCOUNT", 0), ("GCOUNT", 1),
+        ("TFIELDS", 1), ("TTYPE1", "WAVELENGTH"), ("TFORM1", "D"),
+        ("EXTNAME", "WCS-TABLE"),
+    ])
+    buf += _pad_block(wl.astype(">f8").tobytes(), b"\x00")
+
+    p = tmp_path / "cal.fits"
+    p.write_bytes(buf)
+
+    hdus = fits_open(str(p))
+    assert [h.name for h in hdus] == ["", "SCI", "ERR", "WCS-TABLE"]
+    sci = hdus[1].data
+    assert np.isnan(sci[2, 3])
+    good = ~np.isnan(sci)
+    np.testing.assert_allclose(sci[good], sci_f[good], atol=bscale / 2 + 1e-9)
+    np.testing.assert_array_equal(hdus[2].data, err)
+    np.testing.assert_allclose(hdus[3]["WAVELENGTH"], wl)
+
+
+def test_fits_tile_compressed_raises(tmp_path):
+    """Tile-compressed HDUs (ZIMAGE convention) must fail loudly, not parse
+    the compressed tiles as data."""
+    from surfh_tpu.preprocessing.fits_io import (
+        CARD,
+        _format_card,
+        _pad_block,
+        fits_open,
+    )
+
+    def header(cards):
+        out = [_format_card(k, v) for k, v in cards]
+        out.append(b"END".ljust(CARD))
+        return _pad_block(b"".join(out))
+
+    buf = header([("SIMPLE", True), ("BITPIX", 8), ("NAXIS", 0)])
+    buf += header([
+        ("XTENSION", "BINTABLE"), ("BITPIX", 8), ("NAXIS", 2),
+        ("NAXIS1", 8), ("NAXIS2", 1), ("PCOUNT", 0), ("GCOUNT", 1),
+        ("TFIELDS", 1), ("TTYPE1", "COMPRESSED_DATA"), ("TFORM1", "K"),
+        ("ZIMAGE", True), ("ZCMPTYPE", "RICE_1"), ("EXTNAME", "SCI"),
+    ])
+    buf += _pad_block(np.zeros(1, ">i8").tobytes(), b"\x00")
+    p = tmp_path / "comp.fits"
+    p.write_bytes(buf)
+    with pytest.raises(NotImplementedError, match="RICE_1"):
+        fits_open(str(p))

@@ -38,6 +38,30 @@ from .preprocessing.fits_io import fits_open
 STEP_ARCSEC = 0.025
 
 
+def crop_psf_stack(spsf: np.ndarray, npix: int) -> np.ndarray:
+    """Center-crop a monochromatic PSF stack [Nλ, h, w] to the sky grid.
+
+    Precomputed webbpsf stacks are generated at a fixed pixel grid (e.g.
+    `psfs_pixscale0.025_npix_501_...npy`) and must be windowed to the run's
+    grid; uses the reference's centering convention (`simulation_data.py:
+    96-133`: window start idx-(N//2) for odd N, idx-(N/2-1) for even,
+    clamped to the stack), so cropped PSFs match the reference bit-for-bit.
+    """
+    spsf = np.asarray(spsf)
+    out = spsf
+    for ax in (1, 2):
+        size = out.shape[ax]
+        if size <= npix:
+            continue
+        idx = size // 2
+        stepidx = npix // 2 if npix % 2 else npix // 2 - 1
+        start = min(max(idx - stepidx, 0), size - npix)
+        sl = [slice(None)] * out.ndim
+        sl[ax] = slice(start, start + npix)
+        out = out[tuple(sl)]
+    return out
+
+
 def load_corrected_data(slices_dir: str, bands: Sequence[str]) -> Dict:
     """Load per-band corrected slices (reference load_data, main_fusion.py:30-62)."""
     out = {"data": {b: [] for b in bands}, "target": {b: [] for b in bands}, "rotation": {b: 0.0 for b in bands}}
@@ -155,7 +179,9 @@ def run_real_fusion(
     tpl_dir = os.path.join(fusion_dir, "Templates")
     templates = np.load(os.path.join(tpl_dir, "templates.npy"))
     wavel_axis = np.load(os.path.join(tpl_dir, "wavel_axis.npy"))
-    spsf = np.load(os.path.join(fusion_dir, "PSF", "psf.npy"))
+    spsf = crop_psf_stack(
+        np.load(os.path.join(fusion_dir, "PSF", "psf.npy")), npix
+    )
 
     alpha_axis = np.arange(npix) * step_degree
     alpha_axis -= np.mean(alpha_axis)

@@ -266,3 +266,23 @@ def test_fits_tile_compressed_raises(tmp_path):
     p.write_bytes(buf)
     with pytest.raises(NotImplementedError, match="RICE_1"):
         fits_open(str(p))
+
+
+def test_crop_psf_stack_reference_convention():
+    """Precomputed webbpsf stacks are windowed with the reference's centering
+    rule (simulation_data.py:96-133): start = idx - N//2 (odd N) or
+    idx - (N/2 - 1) (even N), clamped — e.g. the 451² stack cropped to 251²
+    is exactly the reference's hard-coded [100:351] window."""
+    from surfh_tpu.pipeline import crop_psf_stack
+
+    stack = np.arange(2 * 451 * 451, dtype=np.float32).reshape(2, 451, 451)
+    out = crop_psf_stack(stack, 251)
+    np.testing.assert_array_equal(out, stack[:, 100:351, 100:351])
+
+    # even target size: start = idx - (N/2 - 1)
+    out = crop_psf_stack(stack, 250)
+    np.testing.assert_array_equal(out, stack[:, 101:351, 101:351])
+
+    # smaller-than-grid stacks pass through untouched
+    small = np.ones((3, 64, 64), np.float32)
+    assert crop_psf_stack(small, 251) is small

@@ -65,3 +65,27 @@ def test_realdata_cube_slice_roundtrip(model_setup):
     assert slices.shape == chan.oshape[1:]
     back = chan.realData_sliceToCube(slices, (n_det,) + model.imshape)
     assert back.shape == (n_det,) + model.imshape
+
+
+def test_make_mask_groups_real_band_names():
+    """Non-multiple-of-3 MIRI band lists group by channel digit (reference
+    assumes fixed A/B/C triples, spectroModel.py:296-297; ours generalizes):
+    ['1a','1b','2a'] → one mask per channel 1 and channel 2."""
+    from surfh_tpu.models.spectro import SpectroSigRLSCT
+    from surfh_tpu.simulation.flagship import make_allband_setup
+
+    setup = make_allband_setup(
+        npix=31, bands=["1a", "1b", "2a"], n_pointings=1, n_tpl=2,
+        lambda_subsample=6,
+    )
+    model = SpectroSigRLSCT(
+        setup["sotf"], setup["templates"], setup["alpha_axis"],
+        setup["beta_axis"], setup["wavelength_axis"], setup["instrs"],
+        setup["step_degree"], setup["pointings"],
+    )
+    assert model._mask_group_leads() == [0, 2]
+    y = np.asarray(model.forward(setup["maps"]))
+    masks = model.make_mask(y, threshold=0.0, nslice=5)
+    assert len(masks) == 2
+    for m in masks:
+        assert m.shape == model.imshape and m.dtype == bool

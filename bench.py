@@ -114,59 +114,100 @@ def main():
         )
     maps = jnp.asarray(setup["maps"], jnp.float32)
 
-    # Chain CHAIN applications sequentially inside one jitted call (like CG
-    # iterations) and fetch a scalar: one host↔device round trip per timing
-    # sample, so tunnel latency doesn't pollute the kernel time.
+    # Two timing modes (axon: ~24 ms tunnel RTT per dispatch, and
+    # block_until_ready can return before compute finishes — a scalar fetch
+    # is the only reliable completion barrier):
+    # * "loop": chain CHAIN applications inside one jitted fori_loop and
+    #   fetch a scalar — one round trip per sample.  Best when one
+    #   application is sub-ms..ms scale (small/medium presets).
+    # * "dispatch": compile forward and adjoint as separate programs and
+    #   chain K *dependent* dispatches at Python level, fetching one scalar
+    #   at the end.  At flagship scale one application is O(seconds), so the
+    #   pipelined RTT is <1% — and keeping the loop OUT of the graph
+    #   matters: XLA threads every captured table through the while-loop
+    #   carry with a private copy (measured +4.7 GB HLO temp → OOM at
+    #   16 GB HBM), while the separate fwd/adj programs fit.
+    mode = os.environ.get(
+        "SURFH_BENCH_MODE", "dispatch" if preset == "flagship" else "loop"
+    )
     if model.window_local:
         tables = model.device_tables()
+        app_args = (tables,)
+        fwd_fn, adj_fn = model._forward_fn_tabled, model._adjoint_fn_tabled
+    else:
+        app_args = ()
+        fwd_fn, adj_fn = model._forward_fn, model.adjoint_fn
 
-        @jax.jit
-        def fwd_adj_chain(x, tables):
-            def body(i, carry):
-                x, acc = carry
-                out = model._adjoint_fn_tabled(
-                    model._forward_fn_tabled(x + acc * 1e-30, tables), tables
-                )
-                return x, acc + jnp.sum(out)
+    if mode == "dispatch":
+        fwd_c = jax.jit(fwd_fn)
+        adj_c = jax.jit(adj_fn)
+        sum_c = jax.jit(lambda g: jnp.sum(g))
 
-            _, acc = jax.lax.fori_loop(0, chain, body, (x, jnp.float32(0)))
-            return acc
+        def run_chain(x0):
+            x = x0
+            s = None
+            for _ in range(chain):
+                g = adj_c(fwd_c(x, *app_args), *app_args)
+                s = sum_c(g)
+                x = x0 + g * 1e-30  # dependent input, stable magnitude
+            return float(s)
 
-        args = (maps, tables)
+        t0 = time.perf_counter()
+        run_chain(maps)  # compile+warm both programs
+        t_compile = time.perf_counter() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_chain(maps)
+            times.append(time.perf_counter() - t0)
+        compiled = fwd_c.lower(maps, *app_args).compile()  # for cost analysis
     else:
 
         @jax.jit
-        def fwd_adj_chain(x):
+        def fwd_adj_chain(x, *app_args):
             def body(i, carry):
                 x, acc = carry
-                out = model.adjoint_fn(model._forward_fn(x + acc * 1e-30))
+                out = adj_fn(fwd_fn(x + acc * 1e-30, *app_args), *app_args)
                 return x, acc + jnp.sum(out)
 
             _, acc = jax.lax.fori_loop(0, chain, body, (x, jnp.float32(0)))
             return acc
 
-        args = (maps,)
-
-    t0 = time.perf_counter()
-    compiled = fwd_adj_chain.lower(*args).compile()
-    t_compile = time.perf_counter() - t0
-    float(compiled(*args))  # warm-up run
-    times = []
-    for _ in range(reps):
+        args = (maps,) + app_args
         t0 = time.perf_counter()
-        float(compiled(*args))
-        times.append(time.perf_counter() - t0)
+        compiled = fwd_adj_chain.lower(*args).compile()
+        t_compile = time.perf_counter() - t0
+        float(compiled(*args))  # warm-up run
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(compiled(*args))
+            times.append(time.perf_counter() - t0)
     t_jax = float(np.median(times)) / chain
 
     vox = 2.0 * float(np.prod(model.cube_shape))
     gvox_s = vox / t_jax / 1e9
 
-    # FLOPs: XLA's own cost model of the compiled chain, analytic fallback.
-    try:
-        ca = compiled.cost_analysis()
+    # FLOPs: XLA's own cost model of the compiled program(s), analytic
+    # fallback.  In dispatch mode one application = the fwd + adj programs;
+    # in loop mode the chain program counts `chain` applications.
+    def _xla_flops(c):
+        ca = c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_per_app = float(ca["flops"]) / chain
+        return float(ca["flops"])
+
+    try:
+        if mode == "dispatch":
+            adj_compiled = adj_c.lower(
+                jnp.zeros(model.oshape, jnp.float32), *app_args
+            ).compile()
+            flops_per_app = _xla_flops(compiled) + _xla_flops(adj_compiled)
+        else:
+            # XLA's cost model counts a while-loop body ONCE (trip count
+            # opaque), so the chain program's flops ≈ one application
+            # (validated against dispatch mode: ratio = chain).
+            flops_per_app = _xla_flops(compiled)
     except Exception:
         flops_per_app = _analytic_flops(model)
     tflops = flops_per_app / t_jax / 1e12

@@ -91,6 +91,83 @@ def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str, fresh: bool, n_args:
     return run
 
 
+def _lcg_step_compiled(normal_op, M, shape, dtype_str, n_args):
+    """One CG iteration as a standalone jitted program (dispatch mode)."""
+    key = ("step", id(normal_op), id(M), shape, dtype_str, n_args)
+    if key in _LCG_CACHE:
+        return _LCG_CACHE[key][0]
+
+    prec = M if M is not None else (lambda r: r)
+
+    @jax.jit
+    def step(x, r, z, p, rz, *op_args):
+        qp = normal_op(p, *op_args)
+        alpha = rz / jnp.vdot(p, qp).real
+        x = x + alpha * p
+        r = r - alpha * qp
+        z = prec(r)
+        rz_new = jnp.vdot(r, z).real
+        beta = rz_new / rz
+        p = z + beta * p
+        rnorm = jnp.linalg.norm(r.ravel()).astype(jnp.float32)
+        return x, r, z, p, rz_new, rnorm
+
+    @jax.jit
+    def init_state(x0, b, *op_args):
+        r0 = b - normal_op(x0, *op_args)
+        z0 = prec(r0)
+        rz0 = jnp.vdot(r0, z0).real
+        return (
+            x0, r0, z0, z0, rz0,
+            jnp.linalg.norm(r0.ravel()).astype(jnp.float32),
+            jnp.linalg.norm(b.ravel()).astype(jnp.float32),
+        )
+
+    _LCG_CACHE[key] = ((step, init_state), normal_op, M)
+    return step, init_state
+
+
+def _lcg_dispatch(
+    normal_op, b, x0, max_iter, tol, M, state, op_args, check_every: int = 25
+):
+    """CG as a Python-orchestrated chain of per-iteration dispatches.
+
+    Same math as the `lax.while_loop` build, but the loop stays OUT of the
+    graph: at flagship scale XLA threads every captured table through the
+    while-loop carry with a private HBM copy (measured +4.7 GB -> OOM on a
+    16 GB v5e), while the single-iteration program fits.  One dispatch per
+    iteration (~24 ms tunnel RTT) is noise against a seconds-long flagship
+    normal application; the convergence check fetches one f32 scalar every
+    `check_every` iterations, and the per-iteration norm history is fetched
+    once at the end.
+    """
+    step, init_state = _lcg_step_compiled(
+        normal_op, M, x0.shape, str(x0.dtype), len(op_args)
+    )
+    if state is None:
+        x, r, z, p, rz, gnorm0, bnorm = init_state(x0, b, *op_args)
+        bnorm_f = float(bnorm)
+        gnorm0_f = float(gnorm0)
+    else:
+        x, r, z, p, rz = (jnp.asarray(s) for s in state)
+        bnorm_f = float(jnp.linalg.norm(b.ravel()).astype(jnp.float32))
+        gnorm0_f = float(jnp.linalg.norm(r.ravel()).astype(jnp.float32))
+    norms = []
+    it = 0
+    while it < max_iter:
+        x, r, z, p, rz, rnorm = step(x, r, z, p, rz, *op_args)
+        norms.append(rnorm)
+        it += 1
+        if it % check_every == 0 or it == max_iter:
+            if float(norms[-1]) <= tol * bnorm_f:
+                break
+    norms_np = np.asarray(jnp.stack(norms), np.float64)
+    # trim at the true convergence point (checks are batched)
+    conv = np.nonzero(norms_np <= tol * bnorm_f)[0]
+    n_it = int(conv[0]) + 1 if conv.size else it
+    return x, norms_np[:n_it], n_it, gnorm0_f, (x, r, z, p, rz)
+
+
 def lcg(
     normal_op: Callable,
     b,
@@ -102,6 +179,7 @@ def lcg(
     state=None,
     return_state: bool = False,
     op_args: tuple = (),
+    loop: str = "graph",
 ) -> SolverResult:
     """Linear CG for Q x = b with Q = `normal_op` (SPD).
 
@@ -124,6 +202,22 @@ def lcg(
     b = jnp.asarray(b, x0.dtype)
 
     M = precond if precond is not None else None
+    if loop == "dispatch":
+        x, norms, it, gnorm0, final_state = _lcg_dispatch(
+            normal_op, b, x0, max_iter, tol, M, state, op_args
+        )
+        res = SolverResult(
+            x=np.asarray(x),
+            grad_norm=np.concatenate([[float(gnorm0)], norms]),
+            n_iter=it,
+            converged=bool(it < max_iter),
+        )
+        if return_state:
+            res.state = tuple(np.asarray(s) for s in final_state)
+        if callback is not None:
+            callback(res)
+        return res
+
     fresh = state is None
     run = _lcg_compiled(
         normal_op, M, max_iter, x0.shape, str(x0.dtype), fresh, len(op_args)

@@ -173,6 +173,7 @@ class QuadCriterion_MRS:
         value_init: Union[float, np.ndarray] = 0.5,
         solver_state=None,
         return_state: bool = False,
+        solver_loop: str = "graph",
     ) -> SolverResult:
         if isinstance(value_init, (int, float)):
             init = jnp.full(self.shape_of_output, value_init, self.dtype)
@@ -186,7 +187,7 @@ class QuadCriterion_MRS:
             res = lcg(
                 self.normal_op, self.b, init, max_iter=maximum_iterations,
                 tol=tolerance, state=solver_state, return_state=return_state,
-                op_args=self._op_args,
+                op_args=self._op_args, loop=solver_loop,
             )
         else:
             res = mmmg(

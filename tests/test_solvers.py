@@ -184,3 +184,27 @@ class TestDeconvCube:
             (recon - truth)[:, mask]
         ) / np.linalg.norm(truth[:, mask])
         assert rel < 0.05, f"relative error {rel:.3f}"
+
+
+def test_lcg_dispatch_matches_graph():
+    """Dispatch-mode CG (Python-orchestrated per-iteration jitted steps, the
+    flagship-scale path where an in-graph while loop OOMs HBM) is
+    bit-identical to the lax.while_loop build."""
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_model
+    from surfh_tpu.solvers.criterion import QuadCriterion_MRS
+
+    model, setup = make_model(
+        im_size=31, n_lambda=16, n_tpl=3, n_channels=1, n_pointings=1,
+        n_slit=3, dtype=jnp.float64,
+    )
+    y = np.asarray(model.forward(setup["maps"]))
+    crit = QuadCriterion_MRS(1.0, y, model, 10.0)
+    a = crit.run_method("lcg", maximum_iterations=25)
+    b = crit.run_method("lcg", maximum_iterations=25, solver_loop="dispatch")
+    assert a.n_iter == b.n_iter
+    np.testing.assert_array_equal(a.x, b.x)
+    # norm telemetry is fetched as float32 in dispatch mode (axon can only
+    # transfer f32 device->host), so the history matches at f32 precision
+    np.testing.assert_allclose(a.grad_norm, b.grad_norm, rtol=1e-6)

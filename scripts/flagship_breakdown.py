@@ -1,0 +1,138 @@
+"""Per-stage timing of the flagship pipeline AT FLAGSHIP SCALE on TPU.
+
+Times each forward/adjoint stage of one representative channel (default 1c,
+the widest λ-window) in isolation through the window-local tabled path,
+dispatch-chained (K dependent dispatches + one scalar fetch — no in-graph
+loop, which OOMs HBM at this scale; see PERF.md).  Use to locate the
+bottleneck before optimizing.
+
+    python scripts/flagship_breakdown.py [--band 1c] [--chain 5]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--band", default="1c")
+    ap.add_argument("--npix", type=int, default=501)
+    ap.add_argument("--pointings", type=int, default=4)
+    ap.add_argument("--chain", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/surfh_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from surfh_tpu.core import fft, lmm, wblur
+    from surfh_tpu.core import bilinear
+    from surfh_tpu.simulation.flagship import make_flagship_model, make_flagship_setup
+
+    # Build the FULL flagship problem but only this band's channel tables.
+    setup = make_flagship_setup(npix=args.npix, bands=[args.band],
+                                n_pointings=args.pointings)
+    model, _ = make_flagship_model(setup)
+    chan = model.channels[0]
+    tables = model.device_tables()
+    t = tables["chan"][0]
+    maps = jax.device_put(jnp.asarray(setup["maps"], jnp.float32))
+    W = chan.n_wslice
+    print(f"band {args.band}: W={W}, oshape {chan.oshape}, "
+          f"local {chan.local_im_shape}", flush=True)
+
+    def timed(fn, x, label):
+        """Dispatch-chained median per-application time."""
+        jfn = jax.jit(fn)
+        jsum = jax.jit(lambda v: jnp.sum(v).astype(jnp.float32))
+        out = jfn(x)
+        float(jsum(out))  # warm
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            o = x
+            for _ in range(args.chain):
+                o2 = jfn(o if o.shape == x.shape else x)
+                o = o2
+            float(jsum(o))
+            times.append((time.perf_counter() - t0) / args.chain)
+        dt = float(np.median(times))
+        print(f"  {label:<28} {dt*1e3:8.1f} ms", flush=True)
+        return dt
+
+    report = {}
+    wsl = chan.wslice
+
+    # -- forward stages --------------------------------------------------
+    tpl_w = jax.lax.slice_in_dim(tables["tpl"], wsl.start, wsl.stop, axis=1)
+    cube_w = jax.jit(lambda x: lmm.lmm_maps2cube(x, tpl_w))(maps)
+    report["fwd_lmm"] = timed(lambda x: lmm.lmm_maps2cube(x, tpl_w), maps, "T (LMM)")
+
+    sotf_ri = t["sotf_ri"]
+    def conv(c):
+        sotf_w = jax.lax.complex(sotf_ri[0], sotf_ri[1])
+        return fft.idft(fft.dft(c) * sotf_w, model.imshape)
+    blurred = jax.jit(conv)(cube_w)
+    report["fwd_fftconv"] = timed(conv, cube_w, "C (FFT conv x OTF)")
+
+    idx, w = t["plan_idx"], t["plan_w"]
+    nla, nlb = chan.local_im_shape
+    def grid_all(c):
+        return jnp.stack([
+            bilinear.apply_plan(idx[p], w[p], c).reshape(W, nla, nlb)
+            for p in range(args.pointings)
+        ])
+    gridded = jax.jit(grid_all)(blurred)
+    report["fwd_grid"] = timed(grid_all, blurred, f"S gather x{args.pointings}")
+
+    off = chan._box_offset
+    n_aout = chan.oshape[3]
+    srf = chan.srf
+    def srf_slit(g):
+        outs = []
+        for p in range(args.pointings):
+            windows = chan._gather_slit_windows(g[p], off, n_aout * srf)
+            windows = windows.reshape(-1, W, n_aout, srf, windows.shape[3]).sum(axis=3)
+            outs.append(windows * t["slit_w"][:, jnp.newaxis, :, :])
+        return jnp.stack(outs)
+    windows = jax.jit(srf_slit)(gridded)
+    report["fwd_srf_slit"] = timed(srf_slit, gridded, "SRF box-sum + slit weights")
+
+    def blur(wd):
+        return jnp.stack([
+            wblur.wblur_sum_beta_batched(wd[p], t["wpsf"])
+            for p in range(args.pointings)
+        ])
+    report["fwd_wblur"] = timed(blur, windows, "Sig-R wblur matmul")
+
+    # -- whole channel fwd / adj / normal --------------------------------
+    report["fwd_channel"] = timed(
+        lambda x: model._channel_fwd_tabled(x, 0, tables), maps, "channel forward (fused)")
+    y0 = jax.jit(lambda x: model._channel_fwd_tabled(x, 0, tables))(maps)
+    report["adj_channel"] = timed(
+        lambda yy: model._channel_adj_tabled(yy, 0, tables), y0, "channel adjoint (fused)")
+    report["normal_channel"] = timed(
+        lambda x: model._channel_adj_tabled(
+            model._channel_fwd_tabled(x, 0, tables), 0, tables),
+        maps, "channel normal (fused)")
+
+    print(json.dumps({k: round(v, 4) for k, v in report.items()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

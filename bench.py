@@ -105,7 +105,10 @@ def main():
     if preset == "flagship":
         from surfh_tpu.simulation.flagship import make_flagship_model
 
-        model, setup = make_flagship_model(wblur_impl=wblur_impl)
+        model, setup = make_flagship_model(
+            wblur_impl=wblur_impl,
+            conv_impl=os.environ.get("SURFH_CONV_IMPL", "auto"),
+        )
     else:
         from surfh_tpu.simulation.synthetic import make_model
 

@@ -3,8 +3,9 @@
 Times each forward/adjoint stage of one representative channel (default 1c,
 the widest λ-window) in isolation through the window-local tabled path,
 dispatch-chained (K dependent dispatches + one scalar fetch — no in-graph
-loop, which OOMs HBM at this scale; see PERF.md).  Use to locate the
-bottleneck before optimizing.
+loop, which OOMs HBM at this scale; see PERF.md).  Every large array is a
+jit ARGUMENT — a closed-over device array is inlined as a literal HLO
+constant and blows the remote-compile upload limit (HTTP 413).
 
     python scripts/flagship_breakdown.py [--band 1c] [--chain 5]
 """
@@ -40,11 +41,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from surfh_tpu.core import fft, lmm, wblur
-    from surfh_tpu.core import bilinear
+    from surfh_tpu.core import bilinear, fft, lmm, wblur
     from surfh_tpu.simulation.flagship import make_flagship_model, make_flagship_setup
 
-    # Build the FULL flagship problem but only this band's channel tables.
     setup = make_flagship_setup(npix=args.npix, bands=[args.band],
                                 n_pointings=args.pointings)
     model, _ = make_flagship_model(setup)
@@ -56,19 +55,18 @@ def main():
     print(f"band {args.band}: W={W}, oshape {chan.oshape}, "
           f"local {chan.local_im_shape}", flush=True)
 
-    def timed(fn, x, label):
-        """Dispatch-chained median per-application time."""
+    def timed(fn, x, extra, label):
+        """Dispatch-chained median per-application time (extra = table args)."""
         jfn = jax.jit(fn)
         jsum = jax.jit(lambda v: jnp.sum(v).astype(jnp.float32))
-        out = jfn(x)
-        float(jsum(out))  # warm
+        out = jfn(x, *extra)
+        float(jsum(out))  # warm (compile both)
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             o = x
             for _ in range(args.chain):
-                o2 = jfn(o if o.shape == x.shape else x)
-                o = o2
+                o = jfn(o if o.shape == x.shape else x, *extra)
             float(jsum(o))
             times.append((time.perf_counter() - t0) / args.chain)
         dt = float(np.median(times))
@@ -77,59 +75,77 @@ def main():
 
     report = {}
     wsl = chan.wslice
+    nla, nlb = chan.local_im_shape
+    n_aout = chan.oshape[3]
+    srf = chan.srf
+    off = chan._box_offset
 
-    # -- forward stages --------------------------------------------------
-    tpl_w = jax.lax.slice_in_dim(tables["tpl"], wsl.start, wsl.stop, axis=1)
-    cube_w = jax.jit(lambda x: lmm.lmm_maps2cube(x, tpl_w))(maps)
-    report["fwd_lmm"] = timed(lambda x: lmm.lmm_maps2cube(x, tpl_w), maps, "T (LMM)")
+    # -- forward stages (tables as args everywhere) ----------------------
+    def f_lmm(x, tpl):
+        tpl_w = jax.lax.slice_in_dim(tpl, wsl.start, wsl.stop, axis=1)
+        return lmm.lmm_maps2cube(x, tpl_w)
 
-    sotf_ri = t["sotf_ri"]
-    def conv(c):
+    cube_w = jax.jit(f_lmm)(maps, tables["tpl"])
+    report["fwd_lmm"] = timed(f_lmm, maps, (tables["tpl"],), "T (LMM)")
+
+    def f_conv(c, sotf_ri):
         sotf_w = jax.lax.complex(sotf_ri[0], sotf_ri[1])
         return fft.idft(fft.dft(c) * sotf_w, model.imshape)
-    blurred = jax.jit(conv)(cube_w)
-    report["fwd_fftconv"] = timed(conv, cube_w, "C (FFT conv x OTF)")
 
-    idx, w = t["plan_idx"], t["plan_w"]
-    nla, nlb = chan.local_im_shape
-    def grid_all(c):
+    blurred = jax.jit(f_conv)(cube_w, t["sotf_ri"])
+    report["fwd_fftconv"] = timed(f_conv, cube_w, (t["sotf_ri"],),
+                                  "C (FFT conv x OTF)")
+
+    def f_grid(c, idx, w):
         return jnp.stack([
             bilinear.apply_plan(idx[p], w[p], c).reshape(W, nla, nlb)
             for p in range(args.pointings)
         ])
-    gridded = jax.jit(grid_all)(blurred)
-    report["fwd_grid"] = timed(grid_all, blurred, f"S gather x{args.pointings}")
 
-    off = chan._box_offset
-    n_aout = chan.oshape[3]
-    srf = chan.srf
-    def srf_slit(g):
+    gridded = jax.jit(f_grid)(blurred, t["plan_idx"], t["plan_w"])
+    report["fwd_grid"] = timed(f_grid, blurred, (t["plan_idx"], t["plan_w"]),
+                               f"S gather x{args.pointings}")
+
+    def f_srf_slit(g, slit_w):
         outs = []
         for p in range(args.pointings):
             windows = chan._gather_slit_windows(g[p], off, n_aout * srf)
-            windows = windows.reshape(-1, W, n_aout, srf, windows.shape[3]).sum(axis=3)
-            outs.append(windows * t["slit_w"][:, jnp.newaxis, :, :])
+            windows = windows.reshape(
+                -1, W, n_aout, srf, windows.shape[3]).sum(axis=3)
+            outs.append(windows * slit_w[:, jnp.newaxis, :, :])
         return jnp.stack(outs)
-    windows = jax.jit(srf_slit)(gridded)
-    report["fwd_srf_slit"] = timed(srf_slit, gridded, "SRF box-sum + slit weights")
 
-    def blur(wd):
+    windows = jax.jit(f_srf_slit)(gridded, t["slit_w"])
+    report["fwd_srf_slit"] = timed(f_srf_slit, gridded, (t["slit_w"],),
+                                   "SRF box-sum + slit weights")
+
+    def f_blur(wd, wpsf):
         return jnp.stack([
-            wblur.wblur_sum_beta_batched(wd[p], t["wpsf"])
+            wblur.wblur_sum_beta_batched(wd[p], wpsf)
             for p in range(args.pointings)
         ])
-    report["fwd_wblur"] = timed(blur, windows, "Sig-R wblur matmul")
 
-    # -- whole channel fwd / adj / normal --------------------------------
-    report["fwd_channel"] = timed(
-        lambda x: model._channel_fwd_tabled(x, 0, tables), maps, "channel forward (fused)")
-    y0 = jax.jit(lambda x: model._channel_fwd_tabled(x, 0, tables))(maps)
-    report["adj_channel"] = timed(
-        lambda yy: model._channel_adj_tabled(yy, 0, tables), y0, "channel adjoint (fused)")
-    report["normal_channel"] = timed(
-        lambda x: model._channel_adj_tabled(
-            model._channel_fwd_tabled(x, 0, tables), 0, tables),
-        maps, "channel normal (fused)")
+    report["fwd_wblur"] = timed(f_blur, windows, (t["wpsf"],),
+                                "Sig-R wblur matmul")
+
+    # -- whole channel fwd / adj / normal (tables as args) ---------------
+    def f_chan(x, tables):
+        return model._channel_fwd_tabled(x, 0, tables)
+
+    def a_chan(yy, tables):
+        return model._channel_adj_tabled(yy, 0, tables)
+
+    def n_chan(x, tables):
+        return model._channel_adj_tabled(
+            model._channel_fwd_tabled(x, 0, tables), 0, tables)
+
+    report["fwd_channel"] = timed(f_chan, maps, (tables,),
+                                  "channel forward (fused)")
+    y0 = jax.jit(f_chan)(maps, tables)
+    report["adj_channel"] = timed(a_chan, y0, (tables,),
+                                  "channel adjoint (fused)")
+    report["normal_channel"] = timed(n_chan, maps, (tables,),
+                                     "channel normal (fused)")
 
     print(json.dumps({k: round(v, 4) for k, v in report.items()}), flush=True)
 

@@ -115,3 +115,85 @@ def half_srf_shift_otf(srf: int, im_shape: Tuple[int, int], dtype=np.complex64) 
     dsi = int((srf - 1) / 2)
     decal[-dsi if dsi else 0, 0] = np.sqrt(im_shape[0] * im_shape[1])
     return np.fft.rfftn(decal, axes=(-2, -1), norm="ortho").astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# MXU matmul-form DFT convolution (flagship TPU hot path)
+#
+# XLA's TPU FFT runs ~20x off bandwidth-optimal (measured 65 ms for a
+# 466-plane 501^2 rfft2+irfft2 pair, size-independent 501/504/512 — not a
+# Bluestein artifact).  Recasting the 2-D DFT as explicit matmuls costs
+# ~N/log N more FLOPs but runs on the MXU: measured 31 ms for the same
+# workload at f32 (`precision="highest"`, max rel deviation 7.1e-6 vs the
+# FFT — float32-class), 2.15x faster end-to-end.  In float64 (CPU tests)
+# the matrices are exact to ~1e-13, so parity contracts are unaffected.
+#
+# Layout: x [W, Na, Nb] real; OTF one-sided [W, Na, Kb] (Kb = Nb//2+1) as a
+# (re, im) pair — complex64 cannot be uploaded through the axon tunnel.
+
+
+def dft_matmul_tables(im_shape: Tuple[int, int], dtype=np.float32) -> dict:
+    """Host-side DFT matrices for :func:`conv_otf_matmul` (and transpose).
+
+    Equivalent to the non-unitary rfft2/irfft2 pair used by
+    :func:`convolve_freq` (the unitary pair's 1/N factors cancel in the
+    forward∘inverse composition).  ~6 N² floats, shared by all channels.
+    """
+    na, nb = int(im_shape[0]), int(im_shape[1])
+    kb = nb // 2 + 1
+    a = np.arange(na)
+    b = np.arange(nb)
+    fb = np.exp(-2j * np.pi * np.outer(np.arange(kb), b) / nb)  # [Kb, Nb]
+    fa = np.exp(-2j * np.pi * np.outer(a, a) / na)  # [Na, Na]
+    ifa = np.conj(fa) / na
+    cb = np.exp(2j * np.pi * np.outer(b, np.arange(kb)) / nb)  # [Nb, Kb]
+    wgt = np.ones(kb)
+    wgt[1:] = 2.0
+    if nb % 2 == 0:
+        wgt[-1] = 1.0  # even Nb: the Nyquist bin is not doubled
+    return {
+        "fb_re": fb.real.astype(dtype),
+        "fb_im": fb.imag.astype(dtype),
+        "fa_re": fa.real.astype(dtype),
+        "fa_im": fa.imag.astype(dtype),
+        "ifa_re": ifa.real.astype(dtype),
+        "ifa_im": ifa.imag.astype(dtype),
+        "icb_re": (cb.real * wgt / nb).astype(dtype),
+        "icb_im": (cb.imag * wgt / nb).astype(dtype),
+    }
+
+
+def conv_otf_matmul(x, otf_re, otf_im, m: dict, precision: str = "highest"):
+    """Circular convolution irfft2(rfft2(x) · otf) as MXU matmuls.
+
+    `m` from :func:`dft_matmul_tables` (device or host).  All arithmetic is
+    real-valued (re/im planes), so no complex arrays touch the tunnel.
+    """
+    es = lambda s, p, q: jnp.einsum(s, p, q, precision=precision)
+    yb_re = es("wab,kb->wak", x, m["fb_re"])
+    yb_im = es("wab,kb->wak", x, m["fb_im"])
+    za_re = es("wak,ca->wck", yb_re, m["fa_re"]) - es("wak,ca->wck", yb_im, m["fa_im"])
+    za_im = es("wak,ca->wck", yb_re, m["fa_im"]) + es("wak,ca->wck", yb_im, m["fa_re"])
+    t_re = za_re * otf_re - za_im * otf_im
+    t_im = za_re * otf_im + za_im * otf_re
+    ua_re = es("wck,ac->wak", t_re, m["ifa_re"]) - es("wck,ac->wak", t_im, m["ifa_im"])
+    ua_im = es("wck,ac->wak", t_re, m["ifa_im"]) + es("wck,ac->wak", t_im, m["ifa_re"])
+    return es("wak,bk->wab", ua_re, m["icb_re"]) - es("wak,bk->wab", ua_im, m["icb_im"])
+
+
+def conv_otf_matmul_t(g, otf_re, otf_im, m: dict, precision: str = "highest"):
+    """Exact transpose of :func:`conv_otf_matmul` w.r.t. `x` (same OTF).
+
+    Mechanical einsum-by-einsum transposition; validated against
+    `jax.linear_transpose` at machine precision (tests/test_kernels.py).
+    """
+    es = lambda s, p, q: jnp.einsum(s, p, q, precision=precision)
+    ua_re = es("wab,bk->wak", g, m["icb_re"])
+    ua_im = -es("wab,bk->wak", g, m["icb_im"])
+    t_re = es("wak,ac->wck", ua_re, m["ifa_re"]) + es("wak,ac->wck", ua_im, m["ifa_im"])
+    t_im = -es("wak,ac->wck", ua_re, m["ifa_im"]) + es("wak,ac->wck", ua_im, m["ifa_re"])
+    za_re = t_re * otf_re + t_im * otf_im
+    za_im = -t_re * otf_im + t_im * otf_re
+    yb_re = es("wck,ca->wak", za_re, m["fa_re"]) + es("wck,ca->wak", za_im, m["fa_im"])
+    yb_im = -es("wck,ca->wak", za_re, m["fa_im"]) + es("wck,ca->wak", za_im, m["fa_re"])
+    return es("wak,kb->wab", yb_re, m["fb_re"]) + es("wak,kb->wab", yb_im, m["fb_im"])

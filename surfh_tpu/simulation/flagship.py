@@ -191,6 +191,7 @@ def make_flagship_model(
     dtype=None,
     wblur_impl: str = "dense",
     window_local: bool = True,
+    conv_impl: str = "auto",
     **kwargs,
 ):
     """Build the flagship `SpectroSigRLSCT` in window-local tabled mode."""
@@ -214,5 +215,6 @@ def make_flagship_model(
         dtype=dtype,
         wblur_impl=wblur_impl,
         window_local=window_local,
+        conv_impl=conv_impl,
     )
     return model, setup

@@ -141,3 +141,58 @@ class TestBilinear:
         plan = bilinear.bilinear_plan(ax, bx, pts)
         got = np.asarray(bilinear.apply_plan(plan.idx, plan.w, plane[None]))[0]
         np.testing.assert_allclose(got, [6 + 2, -1 + 4], rtol=1e-12)
+
+
+def test_conv_otf_matmul_matches_fft():
+    """MXU matmul-form DFT convolution == rfft2/irfft2 convolution, and its
+    hand transpose == jax.linear_transpose, at machine precision in f64
+    (odd/even/non-square grids; the flagship TPU conv backend)."""
+    import jax
+
+    from surfh_tpu.core import fft
+
+    rng = np.random.default_rng(0)
+    for na, nb in [(21, 21), (20, 24), (17, 16)]:
+        W = 4
+        x = jnp.asarray(rng.random((W, na, nb)))
+        otf = rng.random((W, na, nb // 2 + 1)) + 1j * rng.random(
+            (W, na, nb // 2 + 1))
+        m = fft.dft_matmul_tables((na, nb), np.float64)
+        o_re, o_im = jnp.asarray(otf.real), jnp.asarray(otf.imag)
+        ref = np.fft.irfft2(np.fft.rfft2(np.asarray(x)) * otf, s=(na, nb))
+        out = fft.conv_otf_matmul(x, o_re, o_im, m)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=0,
+                                   atol=1e-12 * np.abs(ref).max())
+        f = lambda v: fft.conv_otf_matmul(v, o_re, o_im, m)
+        t = jax.linear_transpose(f, jax.ShapeDtypeStruct(x.shape, x.dtype))
+        g = jnp.asarray(rng.random(x.shape))
+        a = np.asarray(t(g)[0])
+        b = np.asarray(fft.conv_otf_matmul_t(g, o_re, o_im, m))
+        np.testing.assert_allclose(b, a, rtol=0, atol=1e-12 * np.abs(a).max())
+
+
+def test_spectro_conv_impl_matmul_equivalent():
+    """conv_impl='matmul' model == conv_impl='fft' model in float64 (forward,
+    adjoint, dot-test) — the TPU default backend's exactness contract."""
+    import jax.numpy as jnp2
+
+    from surfh_tpu.models.spectro import SpectroSigRLSCT
+    from surfh_tpu.simulation.synthetic import make_setup
+
+    fx = make_setup(im_size=31, n_lambda=16, n_tpl=3, n_channels=1,
+                    n_pointings=2, n_slit=3)
+    args = (fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+            fx["wavelength_axis"], fx["instrs"], fx["step_degree"],
+            fx["pointings"])
+    A = SpectroSigRLSCT(*args, dtype=jnp2.float64, window_local=True,
+                        conv_impl="fft")
+    B = SpectroSigRLSCT(*args, dtype=jnp2.float64, window_local=True,
+                        conv_impl="matmul")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random(A.ishape))
+    ya, yb = np.asarray(A.forward(x)), np.asarray(B.forward(x))
+    np.testing.assert_allclose(yb, ya, rtol=0, atol=1e-12 * np.abs(ya).max())
+    yr = jnp.asarray(rng.standard_normal(A.oshape))
+    lhs = float(jnp.vdot(B.forward(x), yr))
+    rhs = float(jnp.vdot(x, B.adjoint(yr)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12

@@ -128,6 +128,64 @@ def main():
     report["fwd_wblur"] = timed(f_blur, windows, (t["wpsf"],),
                                 "Sig-R wblur matmul")
 
+    # -- adjoint sub-stages ----------------------------------------------
+    from surfh_tpu.core import fft as fft_mod
+
+    S = chan.oshape[1]
+    sb = chan.slit_shape[2]
+    K = chan.wpsf.shape[0]
+    y1 = jnp.zeros(tuple(chan.oshape), jnp.float32) + 1.0
+
+    def a_wblur_t(yy, wpsf):
+        wp2d = wpsf.reshape(K, W * sb)
+        outs = []
+        for p in range(args.pointings):
+            y2d = jnp.transpose(yy[p], (0, 2, 1)).reshape(S * n_aout, K)
+            wt = jax.lax.dot_general(
+                y2d, wp2d, (((1,), (0,)), ((), ())),
+                preferred_element_type=yy.dtype,
+            ).reshape(S, n_aout, W, sb)
+            outs.append(jnp.transpose(wt, (0, 2, 1, 3)))
+        return jnp.stack(outs)
+
+    wt = jax.jit(a_wblur_t)(y1, t["wpsf"])
+    report["adj_wblur_t"] = timed(a_wblur_t, y1, (t["wpsf"],),
+                                  "adj wblur_t matmul")
+
+    def a_scatter(wts, slit_w):
+        outs = []
+        for p in range(args.pointings):
+            w_ = wts[p] * slit_w[:, jnp.newaxis, :, :]
+            up = jnp.broadcast_to(
+                w_[:, :, :, jnp.newaxis, :], (S, W, n_aout, srf, sb)
+            ).reshape(S, W, n_aout * srf, sb)
+            outs.append(chan._scatter_slit_windows_t(up, off, nla))
+        return jnp.stack(outs)
+
+    g_t = jax.jit(a_scatter)(wt, t["slit_w"])
+    report["adj_slit_scatter"] = timed(a_scatter, wt, (t["slit_w"],),
+                                       "adj box/slit scatter")
+
+    def a_grid_t(gt, tp0, tp1, tp2):
+        outs = []
+        for p in range(args.pointings):
+            outs.append(bilinear.apply_csr_transpose_arrays(
+                tp0[p], tp1[p], tp2[p], gt[p].reshape(W, -1), model.imshape))
+        return sum(outs)
+
+    tp = t["tplan"]
+    if chan._tplan_kind == "csr":
+        report["adj_grid_t"] = timed(a_grid_t, g_t, tuple(tp),
+                                     "adj CSR gridding transpose")
+
+    def a_conv_t(c, sotf_ri, dftm):
+        return fft_mod.conv_otf_matmul_t(c, sotf_ri[0], sotf_ri[1], dftm)
+
+    cw = jnp.zeros((W,) + model.imshape, jnp.float32) + 1.0
+    if "dftm" in tables:
+        report["adj_conv_t"] = timed(a_conv_t, cw, (t["sotf_ri"], tables["dftm"]),
+                                     "adj conv_t (matmul)")
+
     # -- whole channel fwd / adj / normal (tables as args) ---------------
     def f_chan(x, tables):
         return model._channel_fwd_tabled(x, 0, tables)

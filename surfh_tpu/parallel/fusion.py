@@ -72,15 +72,36 @@ class ShardedSpectro:
             [c for c in range(n_ch) if c % self.n_dev == d] for d in range(self.n_dev)
         ]
 
-        self._fwd_fns = [self._make_channel_fwd(c) for c in range(n_ch)]
-        self._adj_fns = [self._make_channel_adj(c) for c in range(n_ch)]
-
         sm = lambda f, i, o: jax.jit(
             jax.shard_map(f, mesh=mesh, in_specs=i, out_specs=o, check_vma=False)
         )
-        self._forward_sm = sm(self._local_forward, P(), P(self.axis))
-        self._adjoint_sm = sm(self._local_adjoint, P(self.axis), P())
-        self._normal_sm = sm(self._local_normal, P(), P())
+        # Flagship (window_local) models pass their tables as shard_map
+        # ARGUMENTS, replicated over the mesh: closed-over tables would be
+        # inlined as HLO constants, which cannot compile at flagship scale
+        # (GB-size programs; see models/spectro.py `window_local`).  Tables
+        # are replicated rather than sharded per channel owner — at the
+        # 12-band flagship they are ~5.5 GB, which fits each v5e chip's HBM
+        # alongside that chip's per-channel temps; compute and temps scale
+        # with devices, tables do not (documented trade-off).
+        self.window_local = bool(getattr(model, "window_local", False))
+        if self.window_local:
+            self._tables = jax.device_put(
+                model.host_tables(), NamedSharding(mesh, P())
+            )
+            tspec = jax.tree.map(lambda _: P(), self._tables)
+            self._forward_sm = sm(
+                self._local_forward_tabled, (P(), tspec), P(self.axis))
+            self._adjoint_sm = sm(
+                self._local_adjoint_tabled, (P(self.axis), tspec), P())
+            self._normal_sm = sm(
+                self._local_normal_tabled, (P(), tspec), P())
+        else:
+            self._tables = None
+            self._fwd_fns = [self._make_channel_fwd(c) for c in range(n_ch)]
+            self._adj_fns = [self._make_channel_adj(c) for c in range(n_ch)]
+            self._forward_sm = sm(self._local_forward, P(), P(self.axis))
+            self._adjoint_sm = sm(self._local_adjoint, P(self.axis), P())
+            self._normal_sm = sm(self._local_normal, P(), P())
 
         self.y_sharding = NamedSharding(mesh, P(self.axis))
         self.x_sharding = NamedSharding(mesh, P())
@@ -198,18 +219,87 @@ class ShardedSpectro:
         return jax.lax.psum(acc, self.axis)
 
     # ------------------------------------------------------------------
+    # SPMD bodies, window-local (tables as replicated shard_map arguments)
+    def _local_forward_tabled(self, x, tables):
+        model, dt = self.model, self.model.dtype
+
+        def branch(d):
+            def f(x):
+                rows = []
+                for s in range(self.per_dev):
+                    if s < len(self.slots[d]):
+                        c = self.slots[d][s]
+                        y = model._channel_fwd_tabled(x, c, tables).ravel()
+                        rows.append(jnp.pad(y, (0, self.block - y.size)))
+                    else:
+                        rows.append(jnp.zeros((self.block,), dt))
+                return jnp.stack(rows)
+
+            return f
+
+        d = jax.lax.axis_index(self.axis)
+        return jax.lax.switch(d, [branch(i) for i in range(self.n_dev)], x)
+
+    def _local_adjoint_tabled(self, y_local, tables):
+        model = self.model
+
+        def branch(d):
+            def f(y_local):
+                acc = jnp.zeros(model.ishape, model.dtype)
+                for s, c in enumerate(self.slots[d]):
+                    osz = int(np.prod(model.instrs_oshape[c]))
+                    yc = y_local[s, :osz].reshape(model.instrs_oshape[c])
+                    acc = acc + model._channel_adj_tabled(yc, c, tables)
+                return acc
+
+            return f
+
+        d = jax.lax.axis_index(self.axis)
+        acc = jax.lax.switch(d, [branch(i) for i in range(self.n_dev)], y_local)
+        return jax.lax.psum(acc, self.axis)
+
+    def _local_normal_tabled(self, x, tables):
+        model = self.model
+
+        def branch(d):
+            def f(x):
+                acc = jnp.zeros(model.ishape, model.dtype)
+                for c in self.slots[d]:
+                    acc = acc + model._channel_adj_tabled(
+                        model._channel_fwd_tabled(x, c, tables), c, tables
+                    )
+                return acc
+
+            return f
+
+        d = jax.lax.axis_index(self.axis)
+        acc = jax.lax.switch(d, [branch(i) for i in range(self.n_dev)], x)
+        return jax.lax.psum(acc, self.axis)
+
+    # ------------------------------------------------------------------
     # public API
+    def _sm_args(self):
+        return (self._tables,) if self.window_local else ()
+
     def forward(self, x):
         """maps → packed sharded data [n_dev·slots, block] (no communication)."""
-        return self._forward_sm(jnp.asarray(x, self.model.dtype).reshape(self.model.ishape))
+        return self._forward_sm(
+            jnp.asarray(x, self.model.dtype).reshape(self.model.ishape),
+            *self._sm_args(),
+        )
 
     def adjoint(self, y_packed):
         """packed sharded data → maps (one psum)."""
-        return self._adjoint_sm(jnp.asarray(y_packed, self.model.dtype))
+        return self._adjoint_sm(
+            jnp.asarray(y_packed, self.model.dtype), *self._sm_args()
+        )
 
     def normal(self, x):
         """HᵗH x, fused per device (one psum)."""
-        return self._normal_sm(jnp.asarray(x, self.model.dtype).reshape(self.model.ishape))
+        return self._normal_sm(
+            jnp.asarray(x, self.model.dtype).reshape(self.model.ishape),
+            *self._sm_args(),
+        )
 
     # ------------------------------------------------------------------
     # layout conversion host helpers (reference flat vector ↔ packed shards)
@@ -252,8 +342,8 @@ class ShardedSpectro:
         """
 
         def step(x, y_packed):
-            r = self._forward_sm(x) - y_packed
-            g = mu_spectro * self._adjoint_sm(r) + mu_reg * dtd_separated(x)
+            r = self._forward_sm(x, *self._sm_args()) - y_packed
+            g = mu_spectro * self._adjoint_sm(r, *self._sm_args()) + mu_reg * dtd_separated(x)
             return x - lr * g
 
         return jax.jit(step)
@@ -277,13 +367,13 @@ class ShardedSpectro:
         """
         model = self.model
         y_packed = y if packed else self.pack(y)
-        b = mu_spectro * self._adjoint_sm(y_packed)
+        b = mu_spectro * self._adjoint_sm(y_packed, *self._sm_args())
         if x0 is None:
             x0 = jnp.zeros(model.ishape, model.dtype)
         x0 = jax.device_put(jnp.asarray(x0, model.dtype).reshape(model.ishape), self.x_sharding)
 
         def normal_op(x):
-            return mu_spectro * self._normal_sm(x) + mu_reg * dtd_separated(x)
+            return mu_spectro * self._normal_sm(x, *self._sm_args()) + mu_reg * dtd_separated(x)
 
         solver = cg_mod.lcg if method == "lcg" else cg_mod.mmmg
         return solver(normal_op, b, x0, max_iter=max_iter, tol=tol)

@@ -103,3 +103,38 @@ def test_graft_dryrun_non_divisor_mesh():
     import __graft_entry__ as g
 
     g.dryrun_multichip(5)
+
+
+def test_sharded_window_local_matches_unsharded():
+    """Flagship-mode (window_local, tables-as-arguments) channel-expert
+    sharding matches the single-device tabled model on the 8-device mesh —
+    the configuration a real v5e-8 flagship run would use (tables replicated
+    as shard_map args, never HLO constants)."""
+    import jax.numpy as jnp
+
+    from surfh_tpu.models.spectro import SpectroSigRLSCT
+    from surfh_tpu.parallel.fusion import ShardedSpectro, make_mesh
+    from surfh_tpu.simulation.synthetic import make_setup
+
+    fx = make_setup(im_size=31, n_lambda=24, n_tpl=3, n_channels=8,
+                    n_pointings=2, n_slit=3)
+    args = (fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+            fx["wavelength_axis"], fx["instrs"], fx["step_degree"],
+            fx["pointings"])
+    model = SpectroSigRLSCT(*args, dtype=jnp.float32, window_local=True,
+                            conv_impl="matmul")
+    sh = ShardedSpectro(model, make_mesh(8))
+    assert sh.window_local
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(model.ishape), jnp.float32)
+    y_sh = sh.forward_flat(x)
+    y_un = np.asarray(model.forward(x))
+    np.testing.assert_allclose(
+        y_sh, y_un, rtol=0, atol=1e-5 * np.abs(y_un).max())
+
+    yr = rng.standard_normal(model.oshape).astype(np.float32)
+    a_sh = np.asarray(sh.adjoint(sh.pack(yr)))
+    a_un = np.asarray(model.adjoint(yr))
+    np.testing.assert_allclose(
+        a_sh, a_un, rtol=0, atol=1e-5 * np.abs(a_un).max())

@@ -341,12 +341,15 @@ class ShardedSpectro:
         validation and long solves driven step-by-step from the host.
         """
 
-        def step(x, y_packed):
-            r = self._forward_sm(x, *self._sm_args()) - y_packed
-            g = mu_spectro * self._adjoint_sm(r, *self._sm_args()) + mu_reg * dtd_separated(x)
+        # tables ride as jit ARGUMENTS (a closed-over device array is inlined
+        # as an HLO literal — at flagship scale that blows the program size)
+        def step(x, y_packed, *sm_args):
+            r = self._forward_sm(x, *sm_args) - y_packed
+            g = mu_spectro * self._adjoint_sm(r, *sm_args) + mu_reg * dtd_separated(x)
             return x - lr * g
 
-        return jax.jit(step)
+        jstep = jax.jit(step)
+        return lambda x, y_packed: jstep(x, y_packed, *self._sm_args())
 
     def solve(
         self,
@@ -372,8 +375,9 @@ class ShardedSpectro:
             x0 = jnp.zeros(model.ishape, model.dtype)
         x0 = jax.device_put(jnp.asarray(x0, model.dtype).reshape(model.ishape), self.x_sharding)
 
-        def normal_op(x):
-            return mu_spectro * self._normal_sm(x, *self._sm_args()) + mu_reg * dtd_separated(x)
+        def normal_op(x, *sm_args):
+            return mu_spectro * self._normal_sm(x, *sm_args) + mu_reg * dtd_separated(x)
 
         solver = cg_mod.lcg if method == "lcg" else cg_mod.mmmg
-        return solver(normal_op, b, x0, max_iter=max_iter, tol=tol)
+        return solver(normal_op, b, x0, max_iter=max_iter, tol=tol,
+                      op_args=self._sm_args())

@@ -262,6 +262,44 @@ class Channel:
                 ),
             )
 
+        # Restrict the transpose tables to the FOV bounding box: the
+        # instrument footprint (rotated FOV ∪ dithers) covers only ~10% of
+        # the flagship sky grid, but the padded-gather transpose pays its C
+        # gathers for EVERY grid pixel (91% guaranteed-zero traffic), and the
+        # CSR form zero-fills and scatters into the full grid.  Both now
+        # produce the bbox patch [ha, wb] and pad it into the global grid
+        # with one static-width jnp.pad (measured ~30 ms/channel off the
+        # flagship adjoint).  The affine index remap preserves the CSR dst
+        # ordering (row-major is monotone under a window crop).
+        na_g, nb_g = self.imshape
+        _any = any((t.w != 0).any() for t in _csr)
+        if _any:
+            _rows = np.concatenate([t.dst[t.w != 0] // nb_g for t in _csr])
+            _cols = np.concatenate([t.dst[t.w != 0] % nb_g for t in _csr])
+            a0, a1 = int(_rows.min()), int(_rows.max()) + 1
+            b0, b1 = int(_cols.min()), int(_cols.max()) + 1
+        else:  # degenerate: no in-grid contribution
+            a0, a1, b0, b1 = 0, 1, 0, 1
+        ha, wb = a1 - a0, b1 - b0
+        self._tbbox = (a0, b0, ha, wb)
+        if self._tplan_kind == "dense":
+            ti, tw_ = self._tplans_fwd_stack
+            npt, cpd = ti.shape[0], ti.shape[1]
+            ti = ti.reshape(npt, cpd, na_g, nb_g)[:, :, a0:a1, b0:b1]
+            tw_ = tw_.reshape(npt, cpd, na_g, nb_g)[:, :, a0:a1, b0:b1]
+            self._tplans_fwd_stack = (
+                np.ascontiguousarray(ti.reshape(npt, cpd, ha * wb)),
+                np.ascontiguousarray(tw_.reshape(npt, cpd, ha * wb)),
+            )
+        else:
+            tsrc, tw_, tdst = self._tplans_fwd_stack
+            rows = tdst // nb_g
+            cols = tdst % nb_g
+            loc = (np.clip(rows - a0, 0, ha - 1) * wb
+                   + np.clip(cols - b0, 0, wb - 1)).astype(np.int32)
+            # zero-weight padding entries (dst = N-1) clip into the bbox
+            self._tplans_fwd_stack = (tsrc, tw_, loc)
+
         # Slit window tables, α pre-subsampled by the SRF.
         a_starts, b_starts, weights = self.slicer.slit_tables()
         self.slit_a_starts = a_starts
@@ -632,12 +670,19 @@ class Channel:
                 gridded_t = fft.idft(
                     fft.dft(summed_t) * jnp.conj(self.otf_combined), (nla, nlb)
                 )
+            a0, b0, ha, wb = self._tbbox
             if self._tplan_kind == "dense":
-                return bilinear.apply_transpose_plan_arrays(
-                    *tplan, gridded_t.reshape(W, -1), self.imshape
+                patch = bilinear.apply_transpose_plan_arrays(
+                    *tplan, gridded_t.reshape(W, -1), (ha, wb)
                 )
-            return bilinear.apply_csr_transpose_arrays(
-                *tplan, gridded_t.reshape(W, -1), self.imshape
+            else:
+                patch = bilinear.apply_csr_transpose_arrays(
+                    *tplan, gridded_t.reshape(W, -1), (ha, wb)
+                )
+            na_g, nb_g = self.imshape
+            return jnp.pad(
+                patch,
+                ((0, 0), (a0, na_g - a0 - ha), (b0, nb_g - b0 - wb)),
             )
 
         stack = (

@@ -302,7 +302,13 @@ def run_allband_simulated(
     )
     timings["nmf_s"] = _time.perf_counter() - t0
 
-    # 4. fuse with the learned templates
+    # 4. fuse with the learned templates.  Rows are normalized to unit L2
+    # first: the LMM is scale-invariant between templates and maps, but
+    # unnormalized NMF rows (O(10-100) on bright cubes) square into HᵗH and
+    # push float32 CG quantities past overflow at production scale
+    # (observed: all-NaN solve at 201²/12-band with rows ~80).
+    tnorm = np.linalg.norm(templates, axis=1, keepdims=True)
+    templates = templates / np.maximum(tnorm, 1e-30)
     model2 = _build(np.ascontiguousarray(templates))
     t0 = _time.perf_counter()
     crit = QuadCriterion_MRS(1.0, y, model2, mu)

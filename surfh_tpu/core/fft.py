@@ -151,13 +151,18 @@ def dft_matmul_tables(im_shape: Tuple[int, int], dtype=np.float32) -> dict:
     wgt[1:] = 2.0
     if nb % 2 == 0:
         wgt[-1] = 1.0  # even Nb: the Nyquist bin is not doubled
+    # fa_d/fa_s (and ifa_*) support the 3-multiplication Gauss form of the
+    # complex α-stage: k1=A(u+v), k2=(B−A)u, k3=(A+B)v → re=k1−k3, im=k1+k2
+    # (3 matmuls instead of 4; identical linear map).
     return {
         "fb_re": fb.real.astype(dtype),
         "fb_im": fb.imag.astype(dtype),
         "fa_re": fa.real.astype(dtype),
-        "fa_im": fa.imag.astype(dtype),
+        "fa_d": (fa.imag - fa.real).astype(dtype),
+        "fa_s": (fa.real + fa.imag).astype(dtype),
         "ifa_re": ifa.real.astype(dtype),
-        "ifa_im": ifa.imag.astype(dtype),
+        "ifa_d": (ifa.imag - ifa.real).astype(dtype),
+        "ifa_s": (ifa.real + ifa.imag).astype(dtype),
         "icb_re": (cb.real * wgt / nb).astype(dtype),
         "icb_im": (cb.imag * wgt / nb).astype(dtype),
     }
@@ -172,12 +177,15 @@ def conv_otf_matmul(x, otf_re, otf_im, m: dict, precision: str = "highest"):
     es = lambda s, p, q: jnp.einsum(s, p, q, precision=precision)
     yb_re = es("wab,kb->wak", x, m["fb_re"])
     yb_im = es("wab,kb->wak", x, m["fb_im"])
-    za_re = es("wak,ca->wck", yb_re, m["fa_re"]) - es("wak,ca->wck", yb_im, m["fa_im"])
-    za_im = es("wak,ca->wck", yb_re, m["fa_im"]) + es("wak,ca->wck", yb_im, m["fa_re"])
+    # α-stage, Gauss 3M: k1=A(u+v), k2=(B−A)u, k3=(A+B)v
+    k1 = es("wak,ca->wck", yb_re + yb_im, m["fa_re"])
+    za_re = k1 - es("wak,ca->wck", yb_im, m["fa_s"])
+    za_im = k1 + es("wak,ca->wck", yb_re, m["fa_d"])
     t_re = za_re * otf_re - za_im * otf_im
     t_im = za_re * otf_im + za_im * otf_re
-    ua_re = es("wck,ac->wak", t_re, m["ifa_re"]) - es("wck,ac->wak", t_im, m["ifa_im"])
-    ua_im = es("wck,ac->wak", t_re, m["ifa_im"]) + es("wck,ac->wak", t_im, m["ifa_re"])
+    k1 = es("wck,ac->wak", t_re + t_im, m["ifa_re"])
+    ua_re = k1 - es("wck,ac->wak", t_im, m["ifa_s"])
+    ua_im = k1 + es("wck,ac->wak", t_re, m["ifa_d"])
     return es("wak,bk->wab", ua_re, m["icb_re"]) - es("wak,bk->wab", ua_im, m["icb_im"])
 
 
@@ -190,10 +198,14 @@ def conv_otf_matmul_t(g, otf_re, otf_im, m: dict, precision: str = "highest"):
     es = lambda s, p, q: jnp.einsum(s, p, q, precision=precision)
     ua_re = es("wab,bk->wak", g, m["icb_re"])
     ua_im = -es("wab,bk->wak", g, m["icb_im"])
-    t_re = es("wak,ac->wck", ua_re, m["ifa_re"]) + es("wak,ac->wck", ua_im, m["ifa_im"])
-    t_im = -es("wak,ac->wck", ua_re, m["ifa_im"]) + es("wak,ac->wck", ua_im, m["ifa_re"])
+    # conj(M) α-stages in Gauss 3M form: k1=A(p+q);
+    # re = k1 + (B−A)q, im = k1 − (A+B)p
+    k1 = es("wak,ac->wck", ua_re + ua_im, m["ifa_re"])
+    t_re = k1 + es("wak,ac->wck", ua_im, m["ifa_d"])
+    t_im = k1 - es("wak,ac->wck", ua_re, m["ifa_s"])
     za_re = t_re * otf_re + t_im * otf_im
     za_im = -t_re * otf_im + t_im * otf_re
-    yb_re = es("wck,ca->wak", za_re, m["fa_re"]) + es("wck,ca->wak", za_im, m["fa_im"])
-    yb_im = -es("wck,ca->wak", za_re, m["fa_im"]) + es("wck,ca->wak", za_im, m["fa_re"])
+    k1 = es("wck,ca->wak", za_re + za_im, m["fa_re"])
+    yb_re = k1 + es("wck,ca->wak", za_im, m["fa_d"])
+    yb_im = k1 - es("wck,ca->wak", za_re, m["fa_s"])
     return es("wak,kb->wab", yb_re, m["fb_re"]) + es("wak,kb->wab", yb_im, m["fb_im"])

@@ -46,7 +46,10 @@ def main():
 
     setup = make_flagship_setup(npix=args.npix, bands=[args.band],
                                 n_pointings=args.pointings)
-    model, _ = make_flagship_model(setup)
+    # conv_impl="fft": this script times hand-built stages on FULL-GRID
+    # tables; the matmul mode rebases the gather plans to the FOV bbox
+    # (fused-path timings live in scripts/flagship_chan_probe.py).
+    model, _ = make_flagship_model(setup, conv_impl="fft")
     chan = model.channels[0]
     tables = model.device_tables()
     t = tables["chan"][0]

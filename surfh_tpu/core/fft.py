@@ -132,24 +132,56 @@ def half_srf_shift_otf(srf: int, im_shape: Tuple[int, int], dtype=np.complex64) 
 # (re, im) pair — complex64 cannot be uploaded through the axon tunnel.
 
 
-def dft_matmul_tables(im_shape: Tuple[int, int], dtype=np.float32) -> dict:
+def dft_matmul_tables(
+    im_shape: Tuple[int, int],
+    dtype=np.float32,
+    ka_max: Optional[int] = None,
+    kb_keep: Optional[int] = None,
+    bbox: Optional[Tuple[int, int, int, int]] = None,
+) -> dict:
     """Host-side DFT matrices for :func:`conv_otf_matmul` (and transpose).
 
     Equivalent to the non-unitary rfft2/irfft2 pair used by
     :func:`convolve_freq` (the unitary pair's 1/N factors cancel in the
     forward∘inverse composition).  ~6 N² floats, shared by all channels.
+
+    `ka_max` / `kb_keep` restrict the frequency-domain stages to the OTF's
+    support (see :func:`otf_freq_support`): only α bins with
+    ``|signed freq| <= ka_max`` and the first `kb_keep` one-sided β bins are
+    computed.  The OTF must then be sliced to the same support
+    (``otf[..., sel_a, :kb_keep]`` with ``sel_a = freq_sel_alpha(na, ka_max)``).
+    The truncated pair stays an exact forward/transpose couple (dot-tests
+    hold at machine precision); its deviation from the full convolution is
+    bounded by the dropped OTF magnitude — ~0 for band-limited PSFs.
+
+    `bbox` = (a0, b0, ha, wb) restricts the conv's *spatial output* (and the
+    transpose's spatial input) to a window of the grid: the inverse-DFT
+    matrices keep only the bbox rows, so :func:`conv_otf_matmul` returns
+    [..., ha, wb] — the computed elements are bit-identical to the full
+    output's window (each output element is the same dot product).  Used
+    when the downstream consumer (the gridding gather) only ever reads the
+    instrument-footprint bbox (~10% of the flagship sky grid) — an exact
+    restriction no FFT can express.
     """
     na, nb = int(im_shape[0]), int(im_shape[1])
     kb = nb // 2 + 1
+    if kb_keep is None or kb_keep > kb:
+        kb_keep = kb
+    kb_keep = max(int(kb_keep), 1)
     a = np.arange(na)
     b = np.arange(nb)
-    fb = np.exp(-2j * np.pi * np.outer(np.arange(kb), b) / nb)  # [Kb, Nb]
-    fa = np.exp(-2j * np.pi * np.outer(a, a) / na)  # [Na, Na]
-    ifa = np.conj(fa) / na
-    cb = np.exp(2j * np.pi * np.outer(b, np.arange(kb)) / nb)  # [Nb, Kb]
-    wgt = np.ones(kb)
+    sel_a = freq_sel_alpha(na, ka_max)
+    fb = np.exp(-2j * np.pi * np.outer(np.arange(kb_keep), b) / nb)  # [Kb', Nb]
+    fa = np.exp(-2j * np.pi * np.outer(sel_a, a) / na)  # [Ka', Na]
+    ifa = np.conj(fa).T / na  # [Na, Ka']
+    cb = np.exp(2j * np.pi * np.outer(b, np.arange(kb_keep)) / nb)  # [Nb, Kb']
+    if bbox is not None:
+        a0, b0, ha, wb = (int(v) for v in bbox)
+        ifa = ifa[a0 : a0 + ha]  # spatial output rows → bbox α rows
+        cb = cb[b0 : b0 + wb]  # spatial output cols → bbox β cols
+    wgt = np.ones(kb_keep)
     wgt[1:] = 2.0
-    if nb % 2 == 0:
+    if nb % 2 == 0 and kb_keep == kb:
         wgt[-1] = 1.0  # even Nb: the Nyquist bin is not doubled
     # fa_d/fa_s (and ifa_*) support the 3-multiplication Gauss form of the
     # complex α-stage: k1=A(u+v), k2=(B−A)u, k3=(A+B)v → re=k1−k3, im=k1+k2
@@ -166,6 +198,56 @@ def dft_matmul_tables(im_shape: Tuple[int, int], dtype=np.float32) -> dict:
         "icb_re": (cb.real * wgt / nb).astype(dtype),
         "icb_im": (cb.imag * wgt / nb).astype(dtype),
     }
+
+
+def freq_sel_alpha(na: int, ka_max: Optional[int]) -> np.ndarray:
+    """α-axis DFT bin indices with |signed frequency| ≤ `ka_max`.
+
+    The full-spectrum index a ∈ [0, Na) carries signed frequency
+    min(a, Na−a); the kept set is the union of the low-frequency prefix and
+    the (negative-frequency) suffix.  `ka_max=None` keeps every bin.
+    """
+    a = np.arange(na)
+    if ka_max is None:
+        return a
+    sfreq = np.minimum(a, na - a)
+    return np.nonzero(sfreq <= int(ka_max))[0]
+
+
+def otf_freq_support(otf, rtol: float, chunk: int = 256):
+    """(ka_max, kb_keep, dropped_rel) frequency support of an OTF stack.
+
+    `otf` is [..., Na, Kb] (complex or a (re, im) pair on axis 0); bins whose
+    peak magnitude over all leading axes falls below ``rtol·max|otf|`` are
+    dropped.  `dropped_rel` is the largest dropped magnitude relative to the
+    peak — the operator-norm error bound of the truncated convolution.
+    Streamed in λ-chunks so memmapped flagship-scale OTFs never materialize.
+    """
+    otf = np.asarray(otf)
+    na, kb = otf.shape[-2], otf.shape[-1]
+    flat = otf.reshape(-1, na, kb)
+    colmax = np.zeros(kb)
+    rowmax = np.zeros(na)
+    for i in range(0, flat.shape[0], chunk):
+        mag = np.abs(flat[i : i + chunk])
+        colmax = np.maximum(colmax, mag.max(axis=(0, 1)))
+        rowmax = np.maximum(rowmax, mag.max(axis=(0, 2)))
+    amax = float(colmax.max())
+    if amax == 0.0 or rtol <= 0.0:
+        return None, None, 0.0
+    thr = rtol * amax
+    keep_b = np.nonzero(colmax >= thr)[0]
+    kb_keep = int(keep_b[-1]) + 1 if len(keep_b) else 1
+    sfreq = np.minimum(np.arange(na), na - np.arange(na))
+    keep_a = np.nonzero(rowmax >= thr)[0]
+    ka_max = int(sfreq[keep_a].max()) if len(keep_a) else 0
+    dropped = 0.0
+    if kb_keep < kb:
+        dropped = max(dropped, float(colmax[kb_keep:].max()) / amax)
+    out_a = sfreq > ka_max
+    if out_a.any():
+        dropped = max(dropped, float(rowmax[out_a].max()) / amax)
+    return ka_max, kb_keep, dropped
 
 
 def conv_otf_matmul(x, otf_re, otf_im, m: dict, precision: str = "highest"):
@@ -209,3 +291,62 @@ def conv_otf_matmul_t(g, otf_re, otf_im, m: dict, precision: str = "highest"):
     yb_re = k1 + es("wck,ca->wak", za_im, m["fa_d"])
     yb_im = k1 - es("wck,ca->wak", za_re, m["fa_s"])
     return es("wak,kb->wab", yb_re, m["fb_re"]) + es("wak,kb->wab", yb_im, m["fb_im"])
+
+
+def lmm_conv_otf_matmul(maps, tpl_w, otf_re, otf_im, m: dict, precision: str = "highest"):
+    """Fused T·C: irfft2(rfft2(Σ_m maps[m]·tpl[m,w]) · otf[w]) as MXU matmuls.
+
+    The 2-D DFT is linear and the LMM mixes λ-planes pointwise, so the
+    forward transform runs on the `M` template **maps** (M ≈ 4 planes)
+    instead of the `W` mixed λ-planes (W ≈ 250–1400): the expensive
+    forward-DFT stages shrink by W/M and the spatial cube T·x is never
+    materialized.  Only the inverse stages (needed per λ-plane for the
+    spatial gridding that follows) stay O(W).  Identical linear map to
+    ``conv_otf_matmul(lmm_maps2cube(maps, tpl_w), ...)``; replaces the
+    reference's sequential T-then-C (spectroModel.py:158-166) on the TPU
+    hot path.
+
+    maps [M, Na, Nb] real; tpl_w [M, W]; otf one-sided [W, Ka', Kb'] as a
+    (re, im) pair matching `m`'s (possibly truncated) frequency support.
+    """
+    es = lambda s, p, q: jnp.einsum(s, p, q, precision=precision)
+    yb_re = es("mab,kb->mak", maps, m["fb_re"])
+    yb_im = es("mab,kb->mak", maps, m["fb_im"])
+    k1 = es("mak,ca->mck", yb_re + yb_im, m["fa_re"])
+    zm_re = k1 - es("mak,ca->mck", yb_im, m["fa_s"])
+    zm_im = k1 + es("mak,ca->mck", yb_re, m["fa_d"])
+    # LMM in the Fourier domain: Z[w] = Σ_m tpl[m, w] · Zm[m]
+    zw_re = es("mck,mw->wck", zm_re, tpl_w)
+    zw_im = es("mck,mw->wck", zm_im, tpl_w)
+    t_re = zw_re * otf_re - zw_im * otf_im
+    t_im = zw_re * otf_im + zw_im * otf_re
+    k1 = es("wck,ac->wak", t_re + t_im, m["ifa_re"])
+    ua_re = k1 - es("wck,ac->wak", t_im, m["ifa_s"])
+    ua_im = k1 + es("wck,ac->wak", t_re, m["ifa_d"])
+    return es("wak,bk->wab", ua_re, m["icb_re"]) - es("wak,bk->wab", ua_im, m["icb_im"])
+
+
+def lmm_conv_otf_matmul_t(g, tpl_w, otf_re, otf_im, m: dict, precision: str = "highest"):
+    """Exact transpose of :func:`lmm_conv_otf_matmul` w.r.t. `maps`.
+
+    The mirror win: the expensive inverse-DFT stages run on M template
+    planes (the λ-sum Σ_w tpl[m,w]·(·) commutes with the inverse transform),
+    only the forward stages on the gradient stay O(W).  Mechanical
+    einsum-by-einsum transposition, validated against `jax.linear_transpose`
+    (tests/test_kernels.py).
+    """
+    es = lambda s, p, q: jnp.einsum(s, p, q, precision=precision)
+    ua_re = es("wab,bk->wak", g, m["icb_re"])
+    ua_im = -es("wab,bk->wak", g, m["icb_im"])
+    k1 = es("wak,ac->wck", ua_re + ua_im, m["ifa_re"])
+    t_re = k1 + es("wak,ac->wck", ua_im, m["ifa_d"])
+    t_im = k1 - es("wak,ac->wck", ua_re, m["ifa_s"])
+    zw_re = t_re * otf_re + t_im * otf_im
+    zw_im = -t_re * otf_im + t_im * otf_re
+    # LMMᵗ in the Fourier domain: Bm[m] = Σ_w tpl[m, w] · Zw[w]
+    zm_re = es("wck,mw->mck", zw_re, tpl_w)
+    zm_im = es("wck,mw->mck", zw_im, tpl_w)
+    k1 = es("mck,ca->mak", zm_re + zm_im, m["fa_re"])
+    yb_re = k1 + es("mck,ca->mak", zm_im, m["fa_d"])
+    yb_im = k1 - es("mck,ca->mak", zm_re, m["fa_s"])
+    return es("mak,kb->mab", yb_re, m["fb_re"]) + es("mak,kb->mab", yb_im, m["fb_im"])

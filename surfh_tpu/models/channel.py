@@ -609,11 +609,16 @@ class Channel:
         """
         return self._adjoint_windowed_fast_impl(y, self.n_wslice, self._wpsf_dev)
 
-    def _adjoint_windowed_fast_impl(self, y, W: int, wpsf, tables=None):
+    def _adjoint_windowed_fast_impl(self, y, W: int, wpsf, tables=None,
+                                    bbox_out: bool = False):
         """Scanned-over-pointings body of the fast adjoint.  `W` / `wpsf` are
         parameters so λ-sharded callers can run it on a window sub-span;
         `tables` (from :meth:`host_tables`) sources the transpose-plan and
-        slit-weight arrays as traced arguments instead of HLO constants."""
+        slit-weight arrays as traced arguments instead of HLO constants.
+
+        `bbox_out=True` returns the FOV-bbox patch [W, ha, wb] without
+        padding it into the global grid — for callers whose next stage (the
+        bbox-restricted matmul conv transpose) consumes the patch directly."""
         n_aout = self.oshape[3]
         srf = self.srf
         nla, nlb = self.local_im_shape
@@ -679,17 +684,23 @@ class Channel:
                 patch = bilinear.apply_csr_transpose_arrays(
                     *tplan, gridded_t.reshape(W, -1), (ha, wb)
                 )
+            if bbox_out:
+                return patch
             na_g, nb_g = self.imshape
             return jnp.pad(
                 patch,
                 ((0, 0), (a0, na_g - a0 - ha), (b0, nb_g - b0 - wb)),
             )
 
+        out_shape = (
+            (W, self._tbbox[2], self._tbbox[3]) if bbox_out
+            else (W,) + self.imshape
+        )
         stack = (
             self._tplans_fwd_stack if tables is None else tables["tplan"]
         )
         if not self.pointing_scan:
-            out = jnp.zeros((W,) + self.imshape, y.dtype)
+            out = jnp.zeros(out_shape, y.dtype)
             for p_idx in range(len(self.pointings)):
                 out = out + one_pointing(
                     y[p_idx], tuple(t[p_idx] for t in stack)
@@ -702,7 +713,7 @@ class Channel:
 
         out, _ = jax.lax.scan(
             body,
-            jnp.zeros((W,) + self.imshape, y.dtype),
+            jnp.zeros(out_shape, y.dtype),
             (y,) + tuple(stack),
         )
         return out

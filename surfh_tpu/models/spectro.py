@@ -66,6 +66,7 @@ class SpectroSigRLSCT(LinOp):
         wblur_band_rtol: float = 0.0,
         window_local: bool = False,
         conv_impl: str = "auto",
+        conv_freq_rtol: float = 0.0,
     ):
         # Flagship-scale mode: evaluate T·C per channel λ-window and pass all
         # large tables (sotf, templates, wpsf, gather plans) as jit ARGUMENTS
@@ -86,6 +87,16 @@ class SpectroSigRLSCT(LinOp):
         if conv_impl not in ("fft", "matmul"):
             raise ValueError(f"unknown conv_impl {conv_impl!r}")
         self.conv_impl = conv_impl
+        # Frequency-support truncation of the matmul conv: drop DFT bins
+        # where the OTF magnitude is below `conv_freq_rtol`·max (PSFs are
+        # band-limited — diffraction-limited optics exactly, Gaussians to
+        # ~1e-7 well inside Nyquist — so high-frequency stages multiply
+        # zeros).  0.0 = exact full-spectrum matrices.  The truncated
+        # forward/adjoint remain an exact transpose pair; the deviation from
+        # the full conv is bounded by the dropped OTF magnitude (recorded
+        # per channel in `conv_supports` after `host_tables`).
+        self.conv_freq_rtol = float(conv_freq_rtol)
+        self.conv_supports = None
         self.sotf = np.asarray(sotf)
         self.alpha_axis = np.asarray(alpha_axis, np.float64)
         self.beta_axis = np.asarray(beta_axis, np.float64)
@@ -176,9 +187,55 @@ class SpectroSigRLSCT(LinOp):
         #   (Σ W ≈ 1.27× the global axis) so per-channel slices cost ~27%
         #   more argument HBM but eliminate both whole-array copies.
         chans = []
+        matmul = self.conv_impl == "matmul"
+        truncate = matmul and self.conv_freq_rtol > 0.0
+        supports = []
+        na_g, nb_g = self.imshape
         for chan in self.channels:
             t = dict(chan.host_tables())
             s = self._sotf_dev[chan.wslice.start : chan.wslice.stop]
+            if matmul:
+                # Per-channel DFT matrices: (a) frequency support of the OTF
+                # window — the short-λ bands keep the most bins (widest OTF),
+                # the long-λ bands the fewest; (b) spatial output restricted
+                # to the channel's FOV bbox (the gridding gather never reads
+                # outside it — an exact restriction, see dft_matmul_tables).
+                # The forward gather plans are rebased to bbox-local indices
+                # (out-of-bbox entries carry weight 0 and clip to the edge).
+                ka_max, kb_keep, dropped = (None, None, 0.0)
+                if truncate:
+                    ka_max, kb_keep, dropped = fft.otf_freq_support(
+                        s, self.conv_freq_rtol
+                    )
+                    sel_a = fft.freq_sel_alpha(na_g, ka_max)
+                    s = np.ascontiguousarray(s[:, sel_a, :kb_keep])
+                a0, b0, ha, wb = chan._tbbox
+                t["dftm"] = fft.dft_matmul_tables(
+                    self.imshape,
+                    self._sotf_dev.real.dtype,
+                    ka_max=ka_max,
+                    kb_keep=kb_keep,
+                    bbox=chan._tbbox,
+                )
+                idx = np.asarray(t["plan_idx"])
+                rows = np.clip(idx // nb_g - a0, 0, ha - 1)
+                cols = np.clip(idx % nb_g - b0, 0, wb - 1)
+                t["plan_idx"] = (rows * wb + cols).astype(idx.dtype)
+                supports.append(
+                    dict(
+                        ka_max=ka_max,
+                        kb_keep=kb_keep,
+                        dropped_rel=dropped,
+                        bbox=chan._tbbox,
+                        keep_frac=(
+                            1.0
+                            if not truncate
+                            else len(sel_a)
+                            * kb_keep
+                            / (na_g * (nb_g // 2 + 1))
+                        ),
+                    )
+                )
             # axis-0 (planar) stack: the row-major argument layout then
             # matches the complex-unpack consumer's preferred layout, so XLA
             # binds the argument directly instead of holding a full relayout
@@ -186,14 +243,11 @@ class SpectroSigRLSCT(LinOp):
             # ~4.7 GB of copies at flagship scale -> OOM).
             t["sotf_ri"] = np.stack([s.real, s.imag], axis=0)
             chans.append(t)
+        self.conv_supports = supports if matmul else None
         out = {
             "tpl": self._templates_dev,
             "chan": tuple(chans),
         }
-        if self.conv_impl == "matmul":
-            out["dftm"] = fft.dft_matmul_tables(
-                self.imshape, self._sotf_dev.real.dtype
-            )
         return out
 
     def device_tables(self):
@@ -214,12 +268,22 @@ class SpectroSigRLSCT(LinOp):
         sotf_ri = t["sotf_ri"]
         if self.lmm:
             tpl_w = jax.lax.slice_in_dim(tables["tpl"], wsl.start, wsl.stop, axis=1)
+            if self.conv_impl == "matmul":
+                # fused T·C: forward-DFT the M template maps, mix + OTF in
+                # Fourier, inverse per λ-plane onto the FOV bbox only (never
+                # materializes T·x nor the out-of-footprint 90% of the grid)
+                blurred = fft.lmm_conv_otf_matmul(
+                    x, tpl_w, sotf_ri[0], sotf_ri[1], t["dftm"]
+                )
+                return chan._forward_windowed_impl(
+                    blurred, t["wpsf"], "dense", tables=t
+                )
             cube_w = lmm.lmm_maps2cube(x, tpl_w)
         else:
             cube_w = jax.lax.slice_in_dim(x, wsl.start, wsl.stop, axis=0)
         if self.conv_impl == "matmul":
             blurred = fft.conv_otf_matmul(
-                cube_w, sotf_ri[0], sotf_ri[1], tables["dftm"]
+                cube_w, sotf_ri[0], sotf_ri[1], t["dftm"]
             )
         else:
             sotf_w = jax.lax.complex(sotf_ri[0], sotf_ri[1])
@@ -233,12 +297,23 @@ class SpectroSigRLSCT(LinOp):
         wsl = chan.wslice
         sotf_ri = t["sotf_ri"]
         cube_w = chan._adjoint_windowed_fast_impl(
-            yc, chan.n_wslice, t["wpsf"], tables=t
+            yc, chan.n_wslice, t["wpsf"], tables=t,
+            bbox_out=self.conv_impl == "matmul",
         )
         if self.conv_impl == "matmul":
+            if self.lmm:
+                # fused Tᵗ·Cᵗ twin: inverse-DFT stages run on M template
+                # planes (exact transpose of the fused forward); input is the
+                # FOV-bbox patch straight from the gridding transpose
+                tpl_w = jax.lax.slice_in_dim(
+                    tables["tpl"], wsl.start, wsl.stop, axis=1
+                )
+                return fft.lmm_conv_otf_matmul_t(
+                    cube_w, tpl_w, sotf_ri[0], sotf_ri[1], t["dftm"]
+                )
             # exact transpose of the forward's matmul conv (NOT conj-multiply)
             blurred_t = fft.conv_otf_matmul_t(
-                cube_w, sotf_ri[0], sotf_ri[1], tables["dftm"]
+                cube_w, sotf_ri[0], sotf_ri[1], t["dftm"]
             )
         else:
             sotf_w = jax.lax.complex(sotf_ri[0], sotf_ri[1])

@@ -192,9 +192,16 @@ def make_flagship_model(
     wblur_impl: str = "dense",
     window_local: bool = True,
     conv_impl: str = "auto",
+    conv_freq_rtol: Optional[float] = None,
     **kwargs,
 ):
-    """Build the flagship `SpectroSigRLSCT` in window-local tabled mode."""
+    """Build the flagship `SpectroSigRLSCT` in window-local tabled mode.
+
+    `conv_freq_rtol` defaults to 1e-6 (`SURFH_CONV_FREQ_RTOL` overrides):
+    the flagship PSFs are band-limited Gaussians, so dropping DFT bins where
+    the OTF is < 1e-6 of peak leaves a float32-class deviation while cutting
+    the conv matmul FLOPs (PERF.md "frequency-truncated conv").
+    """
     import jax.numpy as jnp
 
     from ..models.spectro import SpectroSigRLSCT
@@ -203,6 +210,8 @@ def make_flagship_model(
         setup = make_flagship_setup(**kwargs)
     if dtype is None:
         dtype = jnp.float32
+    if conv_freq_rtol is None:
+        conv_freq_rtol = float(os.environ.get("SURFH_CONV_FREQ_RTOL", "1e-6"))
     model = SpectroSigRLSCT(
         setup["sotf"],
         setup["templates"],
@@ -216,5 +225,6 @@ def make_flagship_model(
         wblur_impl=wblur_impl,
         window_local=window_local,
         conv_impl=conv_impl,
+        conv_freq_rtol=conv_freq_rtol,
     )
     return model, setup

@@ -145,6 +145,9 @@ def make_model(
     gridding: str = "bilinear",
     wblur_impl: str = "dense",
     wblur_band_rtol: float = 0.0,
+    window_local: bool = False,
+    conv_impl: str = "auto",
+    conv_freq_rtol: float = 0.0,
     **kwargs,
 ):
     """Build the flagship `SpectroSigRLSCT` from a synthetic setup."""
@@ -169,5 +172,8 @@ def make_model(
         gridding=gridding,
         wblur_impl=wblur_impl,
         wblur_band_rtol=wblur_band_rtol,
+        window_local=window_local,
+        conv_impl=conv_impl,
+        conv_freq_rtol=conv_freq_rtol,
     )
     return model, setup

@@ -196,3 +196,99 @@ def test_spectro_conv_impl_matmul_equivalent():
     lhs = float(jnp.vdot(B.forward(x), yr))
     rhs = float(jnp.vdot(x, B.adjoint(yr)))
     assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+def test_lmm_conv_otf_matmul_fused_exact():
+    """Fused T·C (per-map DFT + Fourier-domain LMM) == lmm_maps2cube followed
+    by conv_otf_matmul at machine precision in f64, and the hand transpose ==
+    jax.linear_transpose — the flagship forward's conv backend."""
+    import jax
+
+    from surfh_tpu.core import fft, lmm
+
+    rng = np.random.default_rng(3)
+    na, nb, W, M = 21, 24, 6, 3
+    maps = jnp.asarray(rng.random((M, na, nb)))
+    tpl = jnp.asarray(rng.random((M, W)))
+    otf = rng.random((W, na, nb // 2 + 1)) + 1j * rng.random((W, na, nb // 2 + 1))
+    o_re, o_im = jnp.asarray(otf.real), jnp.asarray(otf.imag)
+    m = fft.dft_matmul_tables((na, nb), np.float64)
+    ref = np.asarray(
+        fft.conv_otf_matmul(lmm.lmm_maps2cube(maps, tpl), o_re, o_im, m)
+    )
+    out = np.asarray(fft.lmm_conv_otf_matmul(maps, tpl, o_re, o_im, m))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-12 * np.abs(ref).max())
+    f = lambda v: fft.lmm_conv_otf_matmul(v, tpl, o_re, o_im, m)
+    t = jax.linear_transpose(f, jax.ShapeDtypeStruct(maps.shape, maps.dtype))
+    g = jnp.asarray(rng.random((W, na, nb)))
+    a = np.asarray(t(g)[0])
+    b = np.asarray(fft.lmm_conv_otf_matmul_t(g, tpl, o_re, o_im, m))
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-12 * np.abs(a).max())
+
+
+def test_conv_freq_truncation_bound_and_adjoint():
+    """Frequency-truncated conv: deviation from the full conv is bounded by
+    the dropped OTF magnitude, and the truncated pair stays an exact
+    forward/transpose couple (dot-test at machine precision)."""
+    from surfh_tpu.core import fft
+
+    rng = np.random.default_rng(5)
+    na, nb, W = 33, 32, 5
+    # band-limited OTF: gaussian decay in both frequency axes
+    fa = np.minimum(np.arange(na), na - np.arange(na)) / na
+    fb = np.arange(nb // 2 + 1) / nb
+    mag = np.exp(-((fa[:, None] / 0.08) ** 2 + (fb[None, :] / 0.08) ** 2))
+    otf = mag[None] * np.exp(1j * rng.uniform(0, 2 * np.pi, (W, na, nb // 2 + 1)))
+    rtol = 1e-5
+    ka_max, kb_keep, dropped = fft.otf_freq_support(otf, rtol)
+    assert 0 < ka_max < na // 2 and 0 < kb_keep < nb // 2 + 1
+    assert dropped < rtol * 1.5
+    sel_a = fft.freq_sel_alpha(na, ka_max)
+    m_full = fft.dft_matmul_tables((na, nb), np.float64)
+    m_tr = fft.dft_matmul_tables((na, nb), np.float64, ka_max=ka_max, kb_keep=kb_keep)
+    x = jnp.asarray(rng.random((W, na, nb)))
+    o_re, o_im = jnp.asarray(otf.real), jnp.asarray(otf.imag)
+    full = np.asarray(fft.conv_otf_matmul(x, o_re, o_im, m_full))
+    otf_tr = otf[:, sel_a, :kb_keep]
+    t_re, t_im = jnp.asarray(otf_tr.real), jnp.asarray(otf_tr.imag)
+    tr = np.asarray(fft.conv_otf_matmul(x, t_re, t_im, m_tr))
+    # operator-norm bound: |Δy| <= dropped·max|otf| · ||x||_2 per plane
+    assert np.abs(tr - full).max() <= dropped * mag.max() * float(
+        jnp.linalg.norm(x[0].ravel())
+    ) * W
+    # exact transpose of the truncated forward
+    g = jnp.asarray(rng.random((W, na, nb)))
+    lhs = float(jnp.vdot(fft.conv_otf_matmul(x, t_re, t_im, m_tr), g))
+    rhs = float(jnp.vdot(x, fft.conv_otf_matmul_t(g, t_re, t_im, m_tr)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+def test_spectro_conv_freq_rtol_model():
+    """Window-local model with conv_freq_rtol: float32-class deviation from
+    the exact-FFT model, exact dot-test, and recorded per-channel supports."""
+    import jax.numpy as jnp2
+
+    from surfh_tpu.models.spectro import SpectroSigRLSCT
+    from surfh_tpu.simulation.synthetic import make_setup
+
+    fx = make_setup(im_size=31, n_lambda=16, n_tpl=3, n_channels=2,
+                    n_pointings=2, n_slit=3)
+    args = (fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+            fx["wavelength_axis"], fx["instrs"], fx["step_degree"],
+            fx["pointings"])
+    A = SpectroSigRLSCT(*args, dtype=jnp2.float64, window_local=True,
+                        conv_impl="fft")
+    B = SpectroSigRLSCT(*args, dtype=jnp2.float64, window_local=True,
+                        conv_impl="matmul", conv_freq_rtol=1e-6)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random(A.ishape))
+    ya, yb = np.asarray(A.forward(x)), np.asarray(B.forward(x))
+    assert B.conv_supports is not None and len(B.conv_supports) == 2
+    for sup in B.conv_supports:
+        assert sup["keep_frac"] < 1.0
+        assert sup["dropped_rel"] <= 1e-6 * 2
+    np.testing.assert_allclose(yb, ya, rtol=0, atol=1e-7 * np.abs(ya).max())
+    yr = jnp.asarray(rng.standard_normal(A.oshape))
+    lhs = float(jnp.vdot(B.forward(x), yr))
+    rhs = float(jnp.vdot(x, B.adjoint(yr)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12

@@ -16,6 +16,7 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--rtol", type=float, default=0.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--stages", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -60,6 +61,40 @@ def main():
     timed(nrm, maps, "channel normal")
     timed(fwd, maps, "channel forward")
     timed(adj, y0, "channel adjoint")
+
+    if args.stages:
+        from surfh_tpu.core import fft
+
+        wsl = chan.wslice
+
+        def conv_only(x, tb):
+            t = tb["chan"][0]
+            tpl_w = jax.lax.slice_in_dim(tb["tpl"], wsl.start, wsl.stop, axis=1)
+            return fft.lmm_conv_otf_matmul(
+                x, tpl_w, t["sotf_ri"][0], t["sotf_ri"][1], t["dftm"])
+
+        def conv_t_only(p, tb):
+            t = tb["chan"][0]
+            tpl_w = jax.lax.slice_in_dim(tb["tpl"], wsl.start, wsl.stop, axis=1)
+            return fft.lmm_conv_otf_matmul_t(
+                p, tpl_w, t["sotf_ri"][0], t["sotf_ri"][1], t["dftm"])
+
+        def mid_fwd(b, tb):
+            t = tb["chan"][0]
+            return chan._forward_windowed_impl(b, t["wpsf"], "dense", tables=t)
+
+        def mid_adj(y, tb):
+            t = tb["chan"][0]
+            return chan._adjoint_windowed_fast_impl(
+                y, chan.n_wslice, t["wpsf"], tables=t, bbox_out=True)
+
+        jconv = jax.jit(conv_only)
+        blurred = jconv(maps, tables)
+        timed(jconv, maps, "  conv (fused T.C)")
+        timed(jax.jit(mid_fwd), blurred, "  middle fwd (S.L.R.Sig)")
+        patch = jax.jit(mid_adj)(y0, tables)
+        timed(jax.jit(mid_adj), y0, "  middle adj")
+        timed(jax.jit(conv_t_only), patch, "  conv_t (fused)")
 
 if __name__ == "__main__":
     main()

@@ -49,12 +49,18 @@ def wblur_sum_beta(arr, wpsf):
 
 @jax.jit
 def wblur_sum_beta_batched(arr, wpsf):
-    """Batched over slits: [s, λ', α] = Σ_λβ arr[s, λ, α, β] · wpsf[λ', λ, β]."""
+    """Batched over slits: [s, λ', α] = Σ_λβ arr[s, λ, α, β] · wpsf[λ', λ, β].
+
+    Spelled as ONE plain GEMM [λ', λ·β] @ [λ·β, s·α] — NOT a batched-einsum
+    over s: a batch dim makes XLA re-stream the wpsf table (K·W·β ≈ 26 MB at
+    flagship scale) once per slit, turning a compute-trivial contraction
+    HBM-bound (S ≈ 12–21 redundant table reads)."""
     s, l, a, b = arr.shape
     k = wpsf.shape[0]
     lhs = wpsf.reshape(k, l * b)
-    rhs = arr.transpose(0, 1, 3, 2).reshape(s, l * b, a)
-    return jnp.einsum("kz,sza->ska", lhs, rhs, preferred_element_type=arr.dtype)
+    rhs = arr.transpose(1, 3, 0, 2).reshape(l * b, s * a)
+    out = jnp.matmul(lhs, rhs, preferred_element_type=arr.dtype)
+    return out.reshape(k, s, a).transpose(1, 0, 2)
 
 
 # Reference-name alias (jax_utils.wblur_subSampling, jax_utils.py:72-80).

@@ -45,7 +45,7 @@ def main():
     from surfh_tpu.simulation.flagship import make_flagship_model, make_flagship_setup
 
     setup = make_flagship_setup(npix=args.npix, bands=[args.band],
-                                n_pointings=args.pointings)
+                                n_pointings=args.pointings, build_sotf=True)
     # conv_impl="fft": this script times hand-built stages on FULL-GRID
     # tables; the matmul mode rebases the gather plans to the FOV bbox
     # (fused-path timings live in scripts/flagship_chan_probe.py).

@@ -54,7 +54,8 @@ def main():
     t0 = time.time()
     bands = args.bands.split(",") if args.bands else None
     setup = make_flagship_setup(
-        npix=args.npix, bands=bands, n_pointings=args.pointings
+        npix=args.npix, bands=bands, n_pointings=args.pointings,
+        build_sotf=True,  # the numpy_ref path applies the transfer function
     )
     model, _ = make_flagship_model(setup)
     print(

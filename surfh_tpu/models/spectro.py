@@ -67,6 +67,7 @@ class SpectroSigRLSCT(LinOp):
         window_local: bool = False,
         conv_impl: str = "auto",
         conv_freq_rtol: float = 0.0,
+        psf_stack=None,
     ):
         # Flagship-scale mode: evaluate T·C per channel λ-window and pass all
         # large tables (sotf, templates, wpsf, gather plans) as jit ARGUMENTS
@@ -97,7 +98,21 @@ class SpectroSigRLSCT(LinOp):
         # per channel in `conv_supports` after `host_tables`).
         self.conv_freq_rtol = float(conv_freq_rtol)
         self.conv_supports = None
-        self.sotf = np.asarray(sotf)
+        # PSF-stamp mode: ship the compact per-λ PSF stamps [Nλ, sx, sy] and
+        # evaluate the OTF in-graph (fft.otf_from_stamps) instead of hosting
+        # / uploading the ~GB-scale precomputed OTF windows.  `sotf` may then
+        # be None; only the window-local matmul conv supports this mode (the
+        # FFT paths need the materialized transfer function).
+        self.psf_stack = None if psf_stack is None else np.asarray(psf_stack)
+        if sotf is None:
+            if self.psf_stack is None:
+                raise ValueError("need sotf or psf_stack")
+            if not (self.window_local and conv_impl == "matmul"):
+                raise ValueError(
+                    "psf_stack-only mode requires window_local=True and "
+                    "conv_impl='matmul' (FFT paths need a materialized sotf)"
+                )
+        self.sotf = None if sotf is None else np.asarray(sotf)
         self.alpha_axis = np.asarray(alpha_axis, np.float64)
         self.beta_axis = np.asarray(beta_axis, np.float64)
         self.wavelength_axis = np.asarray(wavelength_axis, np.float64)
@@ -158,7 +173,9 @@ class SpectroSigRLSCT(LinOp):
         # host-side constants (jit embeds them; avoids D2H constant fetches)
         npctype = np.complex64 if dtype == jnp.float32 else np.complex128
         npdtype = np.float32 if dtype == jnp.float32 else np.float64
-        self._sotf_dev = np.asarray(self.sotf, npctype)
+        self._sotf_dev = (
+            None if self.sotf is None else np.asarray(self.sotf, npctype)
+        )
         self._templates_dev = (
             np.asarray(self.templates, npdtype) if self.lmm else None
         )
@@ -189,11 +206,24 @@ class SpectroSigRLSCT(LinOp):
         chans = []
         matmul = self.conv_impl == "matmul"
         truncate = matmul and self.conv_freq_rtol > 0.0
+        stamps = matmul and self.psf_stack is not None
+        npdtype = np.float32 if self.dtype == jnp.float32 else np.float64
         supports = []
         na_g, nb_g = self.imshape
         for chan in self.channels:
             t = dict(chan.host_tables())
-            s = self._sotf_dev[chan.wslice.start : chan.wslice.stop]
+            psf_w = (
+                np.asarray(
+                    self.psf_stack[chan.wslice.start : chan.wslice.stop], npdtype
+                )
+                if stamps
+                else None
+            )
+            s = (
+                None
+                if self._sotf_dev is None
+                else self._sotf_dev[chan.wslice.start : chan.wslice.stop]
+            )
             if matmul:
                 # Per-channel DFT matrices: (a) frequency support of the OTF
                 # window — the short-λ bands keep the most bins (widest OTF),
@@ -204,15 +234,21 @@ class SpectroSigRLSCT(LinOp):
                 # (out-of-bbox entries carry weight 0 and clip to the edge).
                 ka_max, kb_keep, dropped = (None, None, 0.0)
                 if truncate:
-                    ka_max, kb_keep, dropped = fft.otf_freq_support(
-                        s, self.conv_freq_rtol
-                    )
+                    if stamps:
+                        ka_max, kb_keep, dropped = fft.otf_support_from_psf(
+                            psf_w, self.imshape, self.conv_freq_rtol
+                        )
+                    else:
+                        ka_max, kb_keep, dropped = fft.otf_freq_support(
+                            s, self.conv_freq_rtol
+                        )
                     sel_a = fft.freq_sel_alpha(na_g, ka_max)
-                    s = np.ascontiguousarray(s[:, sel_a, :kb_keep])
+                    if s is not None:
+                        s = np.ascontiguousarray(s[:, sel_a, :kb_keep])
                 a0, b0, ha, wb = chan._tbbox
                 t["dftm"] = fft.dft_matmul_tables(
                     self.imshape,
-                    self._sotf_dev.real.dtype,
+                    npdtype,
                     ka_max=ka_max,
                     kb_keep=kb_keep,
                     bbox=chan._tbbox,
@@ -236,12 +272,26 @@ class SpectroSigRLSCT(LinOp):
                         ),
                     )
                 )
-            # axis-0 (planar) stack: the row-major argument layout then
-            # matches the complex-unpack consumer's preferred layout, so XLA
-            # binds the argument directly instead of holding a full relayout
-            # copy per channel in HLO temp (measured: last-axis stacking cost
-            # ~4.7 GB of copies at flagship scale -> OOM).
-            t["sotf_ri"] = np.stack([s.real, s.imag], axis=0)
+            if stamps:
+                # PSF-stamp mode: ship [W, sx, sy] stamps + the stamp-DFT
+                # matrices; the OTF window is evaluated in-graph
+                # (fft.otf_from_stamps) — ~100× less argument HBM/upload
+                # than the materialized OTF window.
+                t["psf"] = psf_w
+                t["stamp"] = fft.psf_stamp_tables(
+                    self.imshape,
+                    psf_w.shape[-2:],
+                    npdtype,
+                    ka_max=ka_max,
+                    kb_keep=kb_keep,
+                )
+            else:
+                # axis-0 (planar) stack: the row-major argument layout then
+                # matches the complex-unpack consumer's preferred layout, so
+                # XLA binds the argument directly instead of holding a full
+                # relayout copy per channel in HLO temp (measured: last-axis
+                # stacking cost ~4.7 GB of copies at flagship scale -> OOM).
+                t["sotf_ri"] = np.stack([s.real, s.imag], axis=0)
             chans.append(t)
         self.conv_supports = supports if matmul else None
         out = {
@@ -250,10 +300,43 @@ class SpectroSigRLSCT(LinOp):
         }
         return out
 
+    def materialize_otf(self, tables, out_sharding=None):
+        """Evaluate per-channel OTF windows from PSF stamps ON DEVICE, once.
+
+        Stamp-mode host tables ship [W, sx, sy] PSF stamps (~100× smaller
+        than the OTF windows — the tunnel upload is the flagship startup
+        bottleneck); this turns them into resident `sotf_ri` device arrays
+        via :func:`fft.otf_from_stamps`.  Evaluating once (instead of
+        in-graph per application) pins the OTF bit-exactly across the
+        forward/adjoint programs, keeping the exact-transpose contract at
+        machine precision (in-graph evaluation re-associates differently
+        per program — measured 1e-10-level dot-test drift)."""
+        chans = []
+        changed = False
+        jit_kwargs = {"out_shardings": out_sharding} if out_sharding else {}
+        for t in tables["chan"]:
+            if "psf" in t:
+                f = jax.jit(
+                    lambda p, st: jnp.stack(fft.otf_from_stamps(p, st)),
+                    **jit_kwargs,
+                )
+                t = dict(t)
+                t["sotf_ri"] = f(t["psf"], t["stamp"])
+                del t["psf"], t["stamp"]
+                changed = True
+            chans.append(t)
+        if not changed:
+            return tables
+        out = dict(tables)
+        out["chan"] = tuple(chans)
+        return out
+
     def device_tables(self):
         """Device-resident tables, uploaded once and cached."""
         if self._dev_tables is None:
-            self._dev_tables = jax.device_put(self.host_tables())
+            self._dev_tables = self.materialize_otf(
+                jax.device_put(self.host_tables())
+            )
         return self._dev_tables
 
     def solver_args(self) -> tuple:
@@ -265,7 +348,11 @@ class SpectroSigRLSCT(LinOp):
         chan = self.channels[c]
         t = tables["chan"][c]
         wsl = chan.wslice
-        sotf_ri = t["sotf_ri"]
+        if "psf" in t:
+            o_re, o_im = fft.otf_from_stamps(t["psf"], t["stamp"])
+        else:
+            sotf_ri = t["sotf_ri"]
+            o_re, o_im = sotf_ri[0], sotf_ri[1]
         if self.lmm:
             tpl_w = jax.lax.slice_in_dim(tables["tpl"], wsl.start, wsl.stop, axis=1)
             if self.conv_impl == "matmul":
@@ -273,7 +360,7 @@ class SpectroSigRLSCT(LinOp):
                 # Fourier, inverse per λ-plane onto the FOV bbox only (never
                 # materializes T·x nor the out-of-footprint 90% of the grid)
                 blurred = fft.lmm_conv_otf_matmul(
-                    x, tpl_w, sotf_ri[0], sotf_ri[1], t["dftm"]
+                    x, tpl_w, o_re, o_im, t["dftm"]
                 )
                 return chan._forward_windowed_impl(
                     blurred, t["wpsf"], "dense", tables=t
@@ -282,11 +369,9 @@ class SpectroSigRLSCT(LinOp):
         else:
             cube_w = jax.lax.slice_in_dim(x, wsl.start, wsl.stop, axis=0)
         if self.conv_impl == "matmul":
-            blurred = fft.conv_otf_matmul(
-                cube_w, sotf_ri[0], sotf_ri[1], t["dftm"]
-            )
+            blurred = fft.conv_otf_matmul(cube_w, o_re, o_im, t["dftm"])
         else:
-            sotf_w = jax.lax.complex(sotf_ri[0], sotf_ri[1])
+            sotf_w = jax.lax.complex(o_re, o_im)
             blurred = fft.idft(fft.dft(cube_w) * sotf_w, self.imshape)
         return chan._forward_windowed_impl(blurred, t["wpsf"], "dense", tables=t)
 
@@ -295,7 +380,11 @@ class SpectroSigRLSCT(LinOp):
         chan = self.channels[c]
         t = tables["chan"][c]
         wsl = chan.wslice
-        sotf_ri = t["sotf_ri"]
+        if "psf" in t:
+            o_re, o_im = fft.otf_from_stamps(t["psf"], t["stamp"])
+        else:
+            sotf_ri = t["sotf_ri"]
+            o_re, o_im = sotf_ri[0], sotf_ri[1]
         cube_w = chan._adjoint_windowed_fast_impl(
             yc, chan.n_wslice, t["wpsf"], tables=t,
             bbox_out=self.conv_impl == "matmul",
@@ -309,14 +398,12 @@ class SpectroSigRLSCT(LinOp):
                     tables["tpl"], wsl.start, wsl.stop, axis=1
                 )
                 return fft.lmm_conv_otf_matmul_t(
-                    cube_w, tpl_w, sotf_ri[0], sotf_ri[1], t["dftm"]
+                    cube_w, tpl_w, o_re, o_im, t["dftm"]
                 )
             # exact transpose of the forward's matmul conv (NOT conj-multiply)
-            blurred_t = fft.conv_otf_matmul_t(
-                cube_w, sotf_ri[0], sotf_ri[1], t["dftm"]
-            )
+            blurred_t = fft.conv_otf_matmul_t(cube_w, o_re, o_im, t["dftm"])
         else:
-            sotf_w = jax.lax.complex(sotf_ri[0], sotf_ri[1])
+            sotf_w = jax.lax.complex(o_re, o_im)
             blurred_t = fft.idft(fft.dft(cube_w) * jnp.conj(sotf_w), self.imshape)
         if self.lmm:
             tpl_w = jax.lax.slice_in_dim(tables["tpl"], wsl.start, wsl.stop, axis=1)
@@ -359,6 +446,11 @@ class SpectroSigRLSCT(LinOp):
 
     # ------------------------------------------------------------------
     def _forward_fn(self, x):
+        if self._sotf_dev is None:
+            raise RuntimeError(
+                "psf_stack-only model: the non-tabled FFT paths need a "
+                "materialized sotf (construct with sotf=... for these)"
+            )
         if self.lmm:
             cube = lmm.lmm_maps2cube(x, self._templates_dev)
         else:
@@ -398,12 +490,18 @@ class SpectroSigRLSCT(LinOp):
 
     def _adjoint_fn_const(self, y):
         """Hand-written exact transpose of :meth:`_forward_fn` (pure fn).
+        Unavailable in psf_stack-only mode (see :meth:`_forward_fn`).
 
         Mathematically identical to the derived `linear_transpose` (the
         LinOp default, kept as :meth:`adjoint_auto`), but with the gridding
         transpose as a presorted segment-sum and the spectral-blur transpose
         as one einsum per pointing — the TPU-fast formulation.
         """
+        if self._sotf_dev is None:
+            raise RuntimeError(
+                "psf_stack-only model: the non-tabled FFT paths need a "
+                "materialized sotf (construct with sotf=... for these)"
+            )
         # Coerce to the model dtype up front: callers (criterion setup paths)
         # may pass float64 NumPy data under x64, and a float64 update into the
         # float32 cube scatter is a FutureWarning → hard error in future JAX.

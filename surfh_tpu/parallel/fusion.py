@@ -85,8 +85,14 @@ class ShardedSpectro:
         # with devices, tables do not (documented trade-off).
         self.window_local = bool(getattr(model, "window_local", False))
         if self.window_local:
-            self._tables = jax.device_put(
-                model.host_tables(), NamedSharding(mesh, P())
+            repl = NamedSharding(mesh, P())
+            # Stamp-mode tables ship compact PSF stamps; materialize the OTF
+            # windows ON DEVICE once here (replicated) so the shard_map
+            # forward/adjoint consume bit-identical `sotf_ri` values — the
+            # exact-transpose contract needs the OTF pinned, not re-evaluated
+            # per program (see SpectroSigRLSCT.materialize_otf).
+            self._tables = model.materialize_otf(
+                jax.device_put(model.host_tables(), repl), out_sharding=repl
             )
             tspec = jax.tree.map(lambda _: P(), self._tables)
             self._forward_sm = sm(

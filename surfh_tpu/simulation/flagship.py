@@ -73,17 +73,23 @@ def make_flagship_setup(
     n_tpl: int = 4,
     lambda_subsample: int = 3,
     seed: int = 19940407,
+    build_sotf: bool = False,
 ):
     """Build the flagship-scale problem inputs (host arrays only).
 
     Returns the same dict keys as `synthetic.make_setup` so the model
-    builders and bench are interchangeable.
+    builders and bench are interchangeable.  By default the materialized
+    OTF stack (`sotf`, ~3.9 GB complex64 + ~25 min of single-core FFTs at
+    full scale) is NOT built — the model consumes the compact per-λ
+    `psf_stack` and evaluates the OTF in-graph (fft.otf_from_stamps).
+    Pass `build_sotf=True` for consumers that need the transfer function
+    itself (FFT-mode conv, the numpy_ref CPU baseline).
     """
     if bands is None:
         bands = list(miri.BANDS)
     return _make_setup_from_instrs(
         flagship_instruments(bands), bands, npix, n_pointings, n_tpl,
-        lambda_subsample, seed,
+        lambda_subsample, seed, build_sotf=build_sotf,
     )
 
 
@@ -109,6 +115,7 @@ def make_allband_setup(
 
 def _make_setup_from_instrs(
     instrs, bands, npix, n_pointings, n_tpl, lambda_subsample, seed,
+    build_sotf: bool = True,
 ):
     rng = np.random.default_rng(seed)
 
@@ -136,36 +143,43 @@ def _make_setup_from_instrs(
         templates[m] = t
     maps = rng.random((n_tpl, npix, npix))
 
-    # λ-dependent gaussian PSF stack → non-unitary OTF, built in float32 /
-    # complex64 chunks (the full sotf is ~3.9 GB complex64 — BASELINE.md).
-    # Computing it costs ~10 min of single-core FFTs at flagship scale, so it
-    # is disk-cached (memmapped on reload) under SURFH_CACHE_DIR.
-    cache_dir = os.environ.get("SURFH_CACHE_DIR", "/tmp/surfh_cache")
-    cache_key = f"sotf_n{npix}_l{n_lambda}_s{step}.npy"
-    cache_path = os.path.join(cache_dir, cache_key)
-    if os.path.exists(cache_path):
-        sotf = np.load(cache_path, mmap_mode="r")
-    else:
-        sotf = np.empty((n_lambda, npix, npix // 2 + 1), np.complex64)
-        chunk = 256
-        for i in range(0, n_lambda, chunk):
-            psf = gaussian_psf(wavelength_axis[i : i + chunk], step).astype(np.float32)
-            if psf.shape[1] > npix or psf.shape[2] > npix:
-                # center-crop kernels wider than the sky grid and renormalize
-                # (same convention as synthetic.make_setup / the reference's
-                # webbpsf crop, simulation_data.py:96-133)
-                ca = max(0, (psf.shape[1] - npix) // 2)
-                cb = max(0, (psf.shape[2] - npix) // 2)
-                psf = psf[:, ca : ca + npix, cb : cb + npix]
-                psf = psf / psf.sum(axis=(1, 2), keepdims=True)
-            sotf[i : i + chunk] = ir2fr(psf, (npix, npix)).astype(np.complex64)
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            tmp = cache_path + ".tmp.npy"
-            np.save(tmp, sotf)
-            os.replace(tmp, cache_path)
-        except OSError:
-            pass  # cache is best-effort (read-only or full filesystem)
+    # λ-dependent gaussian PSF stamp stack [Nλ, 40, 40] — compact and cheap;
+    # the flagship model evaluates the OTF from it in-graph
+    # (fft.otf_from_stamps), so the materialized sotf below is optional.
+    psf_stack = gaussian_psf(wavelength_axis, step).astype(np.float32)
+    if psf_stack.shape[1] > npix or psf_stack.shape[2] > npix:
+        # center-crop kernels wider than the sky grid and renormalize
+        # (same convention as synthetic.make_setup / the reference's
+        # webbpsf crop, simulation_data.py:96-133)
+        ca = max(0, (psf_stack.shape[1] - npix) // 2)
+        cb = max(0, (psf_stack.shape[2] - npix) // 2)
+        psf_stack = psf_stack[:, ca : ca + npix, cb : cb + npix]
+        psf_stack = psf_stack / psf_stack.sum(axis=(1, 2), keepdims=True)
+
+    # Materialized non-unitary OTF stack (~3.9 GB complex64 at full scale,
+    # ~25 min of single-core FFTs — BASELINE.md), disk-cached/memmapped
+    # under SURFH_CACHE_DIR.  Only for FFT-mode / numpy_ref consumers.
+    sotf = None
+    if build_sotf:
+        cache_dir = os.environ.get("SURFH_CACHE_DIR", "/tmp/surfh_cache")
+        cache_key = f"sotf_n{npix}_l{n_lambda}_s{step}.npy"
+        cache_path = os.path.join(cache_dir, cache_key)
+        if os.path.exists(cache_path):
+            sotf = np.load(cache_path, mmap_mode="r")
+        else:
+            sotf = np.empty((n_lambda, npix, npix // 2 + 1), np.complex64)
+            chunk = 256
+            for i in range(0, n_lambda, chunk):
+                sotf[i : i + chunk] = ir2fr(
+                    psf_stack[i : i + chunk], (npix, npix)
+                ).astype(np.complex64)
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = cache_path + ".tmp.npy"
+                np.save(tmp, sotf)
+                os.replace(tmp, cache_path)
+            except OSError:
+                pass  # cache is best-effort (read-only or full filesystem)
 
     dith = np.asarray(miri.dithering)[:n_pointings] / 3600.0
     pts = CoordList.from_array(dith)
@@ -178,6 +192,7 @@ def _make_setup_from_instrs(
         alpha_axis=alpha_axis,
         beta_axis=beta_axis,
         sotf=sotf,
+        psf_stack=psf_stack,
         instrs=instrs,
         pointings=pointings,
         step_degree=step_degree,
@@ -202,18 +217,40 @@ def make_flagship_model(
     the OTF is < 1e-6 of peak leaves a float32-class deviation while cutting
     the conv matmul FLOPs (PERF.md "frequency-truncated conv").
     """
+    import jax
     import jax.numpy as jnp
 
     from ..models.spectro import SpectroSigRLSCT
 
     if setup is None:
-        setup = make_flagship_setup(**kwargs)
+        need_sotf = conv_impl == "fft" or (
+            conv_impl == "auto" and jax.default_backend() != "tpu"
+        )
+        setup = make_flagship_setup(build_sotf=need_sotf, **kwargs)
     if dtype is None:
         dtype = jnp.float32
     if conv_freq_rtol is None:
         conv_freq_rtol = float(os.environ.get("SURFH_CONV_FREQ_RTOL", "1e-6"))
+    # PSF-stamp mode (OTF evaluated in-graph from the compact stamps) is the
+    # default whenever the matmul conv path will run; a materialized sotf is
+    # only required for the FFT conv.  SURFH_PSF_STAMPS=0 forces the
+    # OTF-window tables (needs setup built with build_sotf=True).
+    resolved = conv_impl
+    if resolved == "auto":
+        resolved = "matmul" if jax.default_backend() == "tpu" else "fft"
+    use_stamps = (
+        resolved == "matmul"
+        and window_local
+        and os.environ.get("SURFH_PSF_STAMPS", "1") != "0"
+        and setup.get("psf_stack") is not None
+    )
+    if not use_stamps and setup.get("sotf") is None:
+        raise ValueError(
+            "this conv configuration needs the materialized sotf — rebuild "
+            "the setup with make_flagship_setup(build_sotf=True)"
+        )
     model = SpectroSigRLSCT(
-        setup["sotf"],
+        None if use_stamps else setup["sotf"],
         setup["templates"],
         setup["alpha_axis"],
         setup["beta_axis"],
@@ -226,5 +263,6 @@ def make_flagship_model(
         window_local=window_local,
         conv_impl=conv_impl,
         conv_freq_rtol=conv_freq_rtol,
+        psf_stack=setup["psf_stack"] if use_stamps else None,
     )
     return model, setup

@@ -138,3 +138,41 @@ def test_sharded_window_local_matches_unsharded():
     a_un = np.asarray(model.adjoint(yr))
     np.testing.assert_allclose(
         a_sh, a_un, rtol=0, atol=1e-5 * np.abs(a_un).max())
+
+
+def test_sharded_stamp_mode_matches_unsharded():
+    """PSF-stamp mode (sotf=None; OTF materialized ON DEVICE once, replicated
+    over the mesh) through the channel-expert sharding: matches the
+    single-device stamp-mode model, and the shard_map tables carry the
+    materialized `sotf_ri` (no per-application in-graph OTF evaluation)."""
+    import jax.numpy as jnp
+
+    from surfh_tpu.models.spectro import SpectroSigRLSCT
+    from surfh_tpu.parallel.fusion import ShardedSpectro, make_mesh
+    from surfh_tpu.simulation.flagship import make_flagship_setup
+
+    fx = make_flagship_setup(npix=41, bands=["4b", "4c"], n_pointings=2,
+                             lambda_subsample=60)
+    assert fx["sotf"] is None  # stamps replace the materialized OTF
+    args = (fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+            fx["wavelength_axis"], fx["instrs"], fx["step_degree"],
+            fx["pointings"])
+    model = SpectroSigRLSCT(None, *args, dtype=jnp.float32,
+                            window_local=True, conv_impl="matmul",
+                            conv_freq_rtol=1e-6, psf_stack=fx["psf_stack"])
+    sh = ShardedSpectro(model, make_mesh(8))
+    for t in sh._tables["chan"]:
+        assert "psf" not in t and "sotf_ri" in t
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random(model.ishape), jnp.float32)
+    y_sh = sh.forward_flat(x)
+    y_un = np.asarray(model.forward(x))
+    np.testing.assert_allclose(
+        y_sh, y_un, rtol=0, atol=1e-5 * np.abs(y_un).max())
+
+    yr = rng.standard_normal(model.oshape).astype(np.float32)
+    a_sh = np.asarray(sh.adjoint(sh.pack(yr)))
+    a_un = np.asarray(model.adjoint(yr))
+    np.testing.assert_allclose(
+        a_sh, a_un, rtol=0, atol=1e-5 * np.abs(a_un).max())

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--bands", type=str, default=None)
     ap.add_argument("--pointings", type=int, default=4)
     ap.add_argument("--mu", type=float, default=5e3)
+    ap.add_argument("--chain", type=int, default=1,
+                    help="CG iterations unrolled per dispatched program "
+                         "(amortizes the ~24 ms tunnel RTT)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -53,7 +56,10 @@ def main():
     t0 = time.time()
     bands = args.bands.split(",") if args.bands else None
     setup = make_flagship_setup(
-        npix=args.npix, bands=bands, n_pointings=args.pointings
+        npix=args.npix, bands=bands, n_pointings=args.pointings,
+        # the CPU backend resolves conv_impl="auto" to the FFT conv, which
+        # needs the materialized transfer function
+        build_sotf=(jax.default_backend() != "tpu"),
     )
     model, _ = make_flagship_model(setup)
     report["build_s"] = round(time.time() - t0, 1)
@@ -77,14 +83,16 @@ def main():
 
     # warm-up solve: compiles the CG step program
     t0 = time.time()
-    crit.run_method("lcg", maximum_iterations=2, solver_loop="dispatch")
+    crit.run_method("lcg", maximum_iterations=2 * args.chain,
+                    solver_loop="dispatch", solver_chain=args.chain)
     report["warmup_s"] = round(time.time() - t0, 1)
     print(f"[{time.strftime('%H:%M:%S')}] b {report['bTy_s']}s, "
           f"warm-up(2 it) {report['warmup_s']}s", flush=True)
 
     t0 = time.time()
     res = crit.run_method(
-        "lcg", maximum_iterations=args.niter, solver_loop="dispatch"
+        "lcg", maximum_iterations=args.niter, solver_loop="dispatch",
+        solver_chain=args.chain,
     )
     dt = time.time() - t0
     report.update(

@@ -91,16 +91,21 @@ def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str, fresh: bool, n_args:
     return run
 
 
-def _lcg_step_compiled(normal_op, M, shape, dtype_str, n_args):
-    """One CG iteration as a standalone jitted program (dispatch mode)."""
-    key = ("step", id(normal_op), id(M), shape, dtype_str, n_args)
+def _lcg_step_compiled(normal_op, M, shape, dtype_str, n_args, chain_steps=1):
+    """`chain_steps` CG iterations as ONE standalone jitted program (dispatch
+    mode).  Chaining K iterations per dispatch amortizes the per-dispatch
+    tunnel RTT (~24 ms on axon) without an in-graph loop — the K step bodies
+    are unrolled calls sharing the table arguments, so XLA does NOT thread
+    private table copies through a while carry (the HBM failure mode that
+    rules out `lax.while_loop` at flagship scale).  Returns a [K] vector of
+    per-iteration residual norms."""
+    key = ("step", id(normal_op), id(M), shape, dtype_str, n_args, chain_steps)
     if key in _LCG_CACHE:
         return _LCG_CACHE[key][0]
 
     prec = M if M is not None else (lambda r: r)
 
-    @jax.jit
-    def step(x, r, z, p, rz, *op_args):
+    def one_step(x, r, z, p, rz, *op_args):
         qp = normal_op(p, *op_args)
         alpha = rz / jnp.vdot(p, qp).real
         x = x + alpha * p
@@ -111,6 +116,14 @@ def _lcg_step_compiled(normal_op, M, shape, dtype_str, n_args):
         p = z + beta * p
         rnorm = jnp.linalg.norm(r.ravel()).astype(jnp.float32)
         return x, r, z, p, rz_new, rnorm
+
+    @jax.jit
+    def step(x, r, z, p, rz, *op_args):
+        rnorms = []
+        for _ in range(chain_steps):
+            x, r, z, p, rz, rnorm = one_step(x, r, z, p, rz, *op_args)
+            rnorms.append(rnorm)
+        return x, r, z, p, rz, jnp.stack(rnorms)
 
     @jax.jit
     def init_state(x0, b, *op_args):
@@ -128,21 +141,25 @@ def _lcg_step_compiled(normal_op, M, shape, dtype_str, n_args):
 
 
 def _lcg_dispatch(
-    normal_op, b, x0, max_iter, tol, M, state, op_args, check_every: int = 25
+    normal_op, b, x0, max_iter, tol, M, state, op_args, check_every: int = 25,
+    chain_steps: int = 1,
 ):
     """CG as a Python-orchestrated chain of per-iteration dispatches.
 
     Same math as the `lax.while_loop` build, but the loop stays OUT of the
     graph: at flagship scale XLA threads every captured table through the
     while-loop carry with a private HBM copy (measured +4.7 GB -> OOM on a
-    16 GB v5e), while the single-iteration program fits.  One dispatch per
-    iteration (~24 ms tunnel RTT) is noise against a seconds-long flagship
-    normal application; the convergence check fetches one f32 scalar every
-    `check_every` iterations, and the per-iteration norm history is fetched
-    once at the end.
+    16 GB v5e), while the single-iteration program fits.  `chain_steps` > 1
+    unrolls K iterations into each dispatched program (one tunnel RTT per K
+    iterations instead of per iteration); a remainder-length program covers
+    `max_iter % K`, so exactly `max_iter` iterations run — chained and
+    unchained dispatch produce the same iterate sequence.  The convergence
+    check fetches one f32 scalar every `check_every` iterations (rounded up
+    to chunk boundaries), and the norm history is fetched once at the end.
     """
+    K = max(1, min(int(chain_steps), max_iter))
     step, init_state = _lcg_step_compiled(
-        normal_op, M, x0.shape, str(x0.dtype), len(op_args)
+        normal_op, M, x0.shape, str(x0.dtype), len(op_args), K
     )
     if state is None:
         x, r, z, p, rz, gnorm0, bnorm = init_state(x0, b, *op_args)
@@ -154,14 +171,20 @@ def _lcg_dispatch(
         gnorm0_f = float(jnp.linalg.norm(r.ravel()).astype(jnp.float32))
     norms = []
     it = 0
+    next_check = check_every
     while it < max_iter:
-        x, r, z, p, rz, rnorm = step(x, r, z, p, rz, *op_args)
-        norms.append(rnorm)
-        it += 1
-        if it % check_every == 0 or it == max_iter:
-            if float(norms[-1]) <= tol * bnorm_f:
+        k = min(K, max_iter - it)
+        stepk = step if k == K else _lcg_step_compiled(
+            normal_op, M, x0.shape, str(x0.dtype), len(op_args), k
+        )[0]
+        x, r, z, p, rz, rnorms = stepk(x, r, z, p, rz, *op_args)
+        norms.append(rnorms)
+        it += k
+        if it >= next_check or it >= max_iter:
+            next_check = it + check_every
+            if float(rnorms[-1]) <= tol * bnorm_f:
                 break
-    norms_np = np.asarray(jnp.stack(norms), np.float64)
+    norms_np = np.asarray(jnp.concatenate(norms), np.float64)
     # trim at the true convergence point (checks are batched)
     conv = np.nonzero(norms_np <= tol * bnorm_f)[0]
     n_it = int(conv[0]) + 1 if conv.size else it
@@ -180,6 +203,7 @@ def lcg(
     return_state: bool = False,
     op_args: tuple = (),
     loop: str = "graph",
+    chain_steps: int = 1,
 ) -> SolverResult:
     """Linear CG for Q x = b with Q = `normal_op` (SPD).
 
@@ -204,7 +228,8 @@ def lcg(
     M = precond if precond is not None else None
     if loop == "dispatch":
         x, norms, it, gnorm0, final_state = _lcg_dispatch(
-            normal_op, b, x0, max_iter, tol, M, state, op_args
+            normal_op, b, x0, max_iter, tol, M, state, op_args,
+            chain_steps=chain_steps,
         )
         res = SolverResult(
             x=np.asarray(x),

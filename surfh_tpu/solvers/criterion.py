@@ -174,6 +174,7 @@ class QuadCriterion_MRS:
         solver_state=None,
         return_state: bool = False,
         solver_loop: str = "graph",
+        solver_chain: int = 1,
     ) -> SolverResult:
         if isinstance(value_init, (int, float)):
             init = jnp.full(self.shape_of_output, value_init, self.dtype)
@@ -188,6 +189,7 @@ class QuadCriterion_MRS:
                 self.normal_op, self.b, init, max_iter=maximum_iterations,
                 tol=tolerance, state=solver_state, return_state=return_state,
                 op_args=self._op_args, loop=solver_loop,
+                chain_steps=solver_chain,
             )
         else:
             res = mmmg(

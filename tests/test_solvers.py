@@ -208,3 +208,34 @@ def test_lcg_dispatch_matches_graph():
     # norm telemetry is fetched as float32 in dispatch mode (axon can only
     # transfer f32 device->host), so the history matches at f32 precision
     np.testing.assert_allclose(a.grad_norm, b.grad_norm, rtol=1e-6)
+
+
+def test_lcg_chained_dispatch_matches_unchained():
+    """chain_steps=K unrolls K CG iterations per dispatched program (one
+    tunnel RTT per K iterations); the iterate sequence is the same math, so
+    results must match the per-iteration dispatch to f32 fusion noise — and
+    a non-divisible max_iter must still run EXACTLY max_iter iterations via
+    the remainder-length program."""
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_model
+    from surfh_tpu.solvers.criterion import QuadCriterion_MRS
+
+    model, setup = make_model(
+        im_size=31, n_lambda=16, n_tpl=3, n_channels=1, n_pointings=1,
+        n_slit=3, dtype=jnp.float64,
+    )
+    y = np.asarray(model.forward(setup["maps"]))
+    crit = QuadCriterion_MRS(1.0, y, model, 10.0)
+    a = crit.run_method("lcg", maximum_iterations=25, solver_loop="dispatch")
+    # 25 % 4 != 0: exercises the remainder program
+    b = crit.run_method("lcg", maximum_iterations=25, solver_loop="dispatch",
+                        solver_chain=4)
+    c = crit.run_method("lcg", maximum_iterations=25, solver_loop="dispatch",
+                        solver_chain=25)
+    assert a.n_iter == b.n_iter == c.n_iter == 25
+    assert len(b.grad_norm) == len(a.grad_norm)
+    # XLA may fuse across unrolled bodies, so allow tiny reassociation noise
+    np.testing.assert_allclose(a.x, b.x, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(a.x, c.x, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(a.grad_norm, b.grad_norm, rtol=1e-5)

@@ -266,6 +266,30 @@ def otf_from_stamps(psf, st: dict, precision: str = "highest"):
     return otf_re, otf_im
 
 
+def _support_from_axis_maxima(colmax, rowmax, rtol: float):
+    """Shared tail of the two support derivations: per-axis OTF magnitude
+    maxima → (ka_max, kb_keep, dropped_rel).  Both the stamp-mode and the
+    materialized-sotf paths MUST truncate identically, so this logic lives
+    in exactly one place."""
+    na, kb = len(rowmax), len(colmax)
+    amax = float(colmax.max())
+    if amax == 0.0 or rtol <= 0.0:
+        return None, None, 0.0
+    thr = rtol * amax
+    keep_b = np.nonzero(colmax >= thr)[0]
+    kb_keep = int(keep_b[-1]) + 1 if len(keep_b) else 1
+    sfreq = np.minimum(np.arange(na), na - np.arange(na))
+    keep_a = np.nonzero(rowmax >= thr)[0]
+    ka_max = int(sfreq[keep_a].max()) if len(keep_a) else 0
+    dropped = 0.0
+    if kb_keep < kb:
+        dropped = max(dropped, float(colmax[kb_keep:].max()) / amax)
+    out_a = sfreq > ka_max
+    if out_a.any():
+        dropped = max(dropped, float(rowmax[out_a].max()) / amax)
+    return ka_max, kb_keep, dropped
+
+
 def otf_support_from_psf(
     psf_stack, im_shape: Tuple[int, int], rtol: float, center=None, chunk: int = 64
 ):
@@ -286,22 +310,7 @@ def otf_support_from_psf(
         mag = np.abs(np.einsum("wcy,yk->wck", z, sb))
         colmax = np.maximum(colmax, mag.max(axis=(0, 1)))
         rowmax = np.maximum(rowmax, mag.max(axis=(0, 2)))
-    amax = float(colmax.max())
-    if amax == 0.0 or rtol <= 0.0:
-        return None, None, 0.0
-    thr = rtol * amax
-    keep_b = np.nonzero(colmax >= thr)[0]
-    kb_keep = int(keep_b[-1]) + 1 if len(keep_b) else 1
-    sfreq = np.minimum(np.arange(na), na - np.arange(na))
-    keep_a = np.nonzero(rowmax >= thr)[0]
-    ka_max = int(sfreq[keep_a].max()) if len(keep_a) else 0
-    dropped = 0.0
-    if kb_keep < kb:
-        dropped = max(dropped, float(colmax[kb_keep:].max()) / amax)
-    out_a = sfreq > ka_max
-    if out_a.any():
-        dropped = max(dropped, float(rowmax[out_a].max()) / amax)
-    return ka_max, kb_keep, dropped
+    return _support_from_axis_maxima(colmax, rowmax, rtol)
 
 
 def otf_freq_support(otf, rtol: float, chunk: int = 256):
@@ -322,22 +331,7 @@ def otf_freq_support(otf, rtol: float, chunk: int = 256):
         mag = np.abs(flat[i : i + chunk])
         colmax = np.maximum(colmax, mag.max(axis=(0, 1)))
         rowmax = np.maximum(rowmax, mag.max(axis=(0, 2)))
-    amax = float(colmax.max())
-    if amax == 0.0 or rtol <= 0.0:
-        return None, None, 0.0
-    thr = rtol * amax
-    keep_b = np.nonzero(colmax >= thr)[0]
-    kb_keep = int(keep_b[-1]) + 1 if len(keep_b) else 1
-    sfreq = np.minimum(np.arange(na), na - np.arange(na))
-    keep_a = np.nonzero(rowmax >= thr)[0]
-    ka_max = int(sfreq[keep_a].max()) if len(keep_a) else 0
-    dropped = 0.0
-    if kb_keep < kb:
-        dropped = max(dropped, float(colmax[kb_keep:].max()) / amax)
-    out_a = sfreq > ka_max
-    if out_a.any():
-        dropped = max(dropped, float(rowmax[out_a].max()) / amax)
-    return ka_max, kb_keep, dropped
+    return _support_from_axis_maxima(colmax, rowmax, rtol)
 
 
 def conv_otf_matmul(x, otf_re, otf_im, m: dict, precision: str = "highest"):

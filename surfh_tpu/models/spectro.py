@@ -15,6 +15,7 @@ Output layout matches the reference: a flat vector concatenating per-channel
 
 from __future__ import annotations
 
+import warnings
 from math import ceil
 from typing import List, Optional
 
@@ -133,6 +134,19 @@ class SpectroSigRLSCT(LinOp):
         ):
             pointings = [CoordList(pointings) for _ in instrs]
         self.pointings = pointings
+
+        if self.window_local and wblur_impl == "banded":
+            # The tabled (window_local) pipelines source the wpsf from the
+            # device-table pytree, which bypasses the banded Pallas gate in
+            # Channel (it keys on `wpsf is self._wpsf_dev`) — the dense MXU
+            # path would silently run anyway.  Fall back loudly instead of
+            # reporting a configuration that isn't executing.
+            warnings.warn(
+                "wblur_impl='banded' is not supported in window_local mode; "
+                "falling back to the dense MXU spectral blur",
+                stacklevel=2,
+            )
+            wblur_impl = "dense"
 
         self.channels = [
             Channel(

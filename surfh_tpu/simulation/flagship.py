@@ -17,6 +17,7 @@ mode: the full sotf alone is ~3.9 GB complex64.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import List, Optional
 
@@ -162,7 +163,13 @@ def _make_setup_from_instrs(
     sotf = None
     if build_sotf:
         cache_dir = os.environ.get("SURFH_CACHE_DIR", "/tmp/surfh_cache")
-        cache_key = f"sotf_n{npix}_l{n_lambda}_s{step}.npy"
+        # key on the λ-axis CONTENTS, not just its length: two band subsets
+        # can have equal sample counts but different wavelengths (different
+        # PSF widths per plane)
+        lam_tag = hashlib.sha1(
+            np.ascontiguousarray(wavelength_axis, np.float64).tobytes()
+        ).hexdigest()[:12]
+        cache_key = f"sotf_n{npix}_l{n_lambda}_s{step}_{lam_tag}.npy"
         cache_path = os.path.join(cache_dir, cache_key)
         if os.path.exists(cache_path):
             sotf = np.load(cache_path, mmap_mode="r")

@@ -184,11 +184,15 @@ def _lcg_dispatch(
             next_check = it + check_every
             if float(rnorms[-1]) <= tol * bnorm_f:
                 break
+    # n_iter reports the iterations actually run (x/state/grad_norm stay
+    # mutually consistent); because convergence checks are batched every
+    # `check_every` iterations, dispatch mode may overshoot the tolerance
+    # crossing by up to check_every-1 extra iterations — harmless for an
+    # SPD quadratic (the residual keeps decreasing), and `converged` is
+    # still reported from the final norm.
     norms_np = np.asarray(jnp.concatenate(norms), np.float64)
-    # trim at the true convergence point (checks are batched)
-    conv = np.nonzero(norms_np <= tol * bnorm_f)[0]
-    n_it = int(conv[0]) + 1 if conv.size else it
-    return x, norms_np[:n_it], n_it, gnorm0_f, (x, r, z, p, rz)
+    converged = bool(norms_np[-1] <= tol * bnorm_f)
+    return x, norms_np, it, gnorm0_f, converged, (x, r, z, p, rz)
 
 
 def lcg(
@@ -227,7 +231,7 @@ def lcg(
 
     M = precond if precond is not None else None
     if loop == "dispatch":
-        x, norms, it, gnorm0, final_state = _lcg_dispatch(
+        x, norms, it, gnorm0, converged, final_state = _lcg_dispatch(
             normal_op, b, x0, max_iter, tol, M, state, op_args,
             chain_steps=chain_steps,
         )
@@ -235,7 +239,7 @@ def lcg(
             x=np.asarray(x),
             grad_norm=np.concatenate([[float(gnorm0)], norms]),
             n_iter=it,
-            converged=bool(it < max_iter),
+            converged=converged,
         )
         if return_state:
             res.state = tuple(np.asarray(s) for s in final_state)
@@ -336,7 +340,6 @@ def mmmg(
         # first iteration: steepest descent (no memory direction yet)
         q0 = normal_op(-g0, *op_args)
         alpha = jnp.vdot(g0, g0).real / jnp.vdot(-g0, q0).real
-        x1 = x0 - alpha * (-(-g0))
         x1 = x0 + alpha * (-g0)
         g1 = g0 + alpha * q0
         norms = norms.at[0].set(jnp.linalg.norm(g1.ravel()))

@@ -204,15 +204,27 @@ class QuadCriterion_MRS:
         return res
 
     def get_crit_val(self, x_hat) -> float:
+        # One jitted program per criterion instance: the tabled flagship
+        # forward dispatched eagerly would pay one tunnel RTT per op (and
+        # eager TPU ops can hit UNIMPLEMENTED on axon) — jit everything.
+        if getattr(self, "_crit_jit", None) is None:
+
+            def crit(x_hat, y, *op_args):
+                data_term = self.mu_spectro * jnp.sum(
+                    (y - self._fwd(x_hat, *op_args)) ** 2
+                )
+                if self.gradient == "separated":
+                    reg = self.mu_reg * jnp.sum(
+                        diff_rows(x_hat) ** 2 + diff_cols(x_hat) ** 2
+                    )
+                else:
+                    reg = self.mu_reg * jnp.sum(self._joint.D(x_hat) ** 2)
+                # f32 result: axon device->host fetch supports only float32
+                return ((data_term + reg) / 2).astype(jnp.float32)
+
+            self._crit_jit = jax.jit(crit)
         x_hat = jnp.asarray(x_hat, self.dtype).reshape(self.shape_of_output)
-        data_term = self.mu_spectro * jnp.sum(
-            (self.y_spectro - self._fwd(x_hat, *self._op_args)) ** 2
-        )
-        if self.gradient == "separated":
-            reg = self.mu_reg * jnp.sum(diff_rows(x_hat) ** 2 + diff_cols(x_hat) ** 2)
-        else:
-            reg = self.mu_reg * jnp.sum(self._joint.D(x_hat) ** 2)
-        return float((data_term + reg) / 2)
+        return float(self._crit_jit(x_hat, self.y_spectro, *self._op_args))
 
 
 # The 2-D single-λ criterion has identical structure over [Nx, Ny] images; the

@@ -215,6 +215,7 @@ def make_flagship_model(
     window_local: bool = True,
     conv_impl: str = "auto",
     conv_freq_rtol: Optional[float] = None,
+    conv_precision: Optional[str] = None,
     **kwargs,
 ):
     """Build the flagship `SpectroSigRLSCT` in window-local tabled mode.
@@ -223,6 +224,10 @@ def make_flagship_model(
     the flagship PSFs are band-limited Gaussians, so dropping DFT bins where
     the OTF is < 1e-6 of peak leaves a float32-class deviation while cutting
     the conv matmul FLOPs (PERF.md "frequency-truncated conv").
+
+    `conv_precision` defaults to "highest" (`SURFH_CONV_PRECISION`
+    overrides): MXU pass count of the conv matmuls — "high" (3-pass bf16)
+    trades ~5.6e-5 max rel conv deviation for a ~30% faster conv stage.
     """
     import jax
     import jax.numpy as jnp
@@ -238,6 +243,8 @@ def make_flagship_model(
         dtype = jnp.float32
     if conv_freq_rtol is None:
         conv_freq_rtol = float(os.environ.get("SURFH_CONV_FREQ_RTOL", "1e-6"))
+    if conv_precision is None:
+        conv_precision = os.environ.get("SURFH_CONV_PRECISION", "highest")
     # PSF-stamp mode (OTF evaluated in-graph from the compact stamps) is the
     # default whenever the matmul conv path will run; a materialized sotf is
     # only required for the FFT conv.  SURFH_PSF_STAMPS=0 forces the
@@ -271,5 +278,6 @@ def make_flagship_model(
         conv_impl=conv_impl,
         conv_freq_rtol=conv_freq_rtol,
         psf_stack=setup["psf_stack"] if use_stamps else None,
+        conv_precision=conv_precision,
     )
     return model, setup

@@ -198,6 +198,36 @@ def test_spectro_conv_impl_matmul_equivalent():
     assert abs(lhs - rhs) / abs(lhs) < 1e-12
 
 
+def test_spectro_conv_precision_knob():
+    """conv_precision='high' (3-pass bf16 MXU emulation) keeps the exact
+    forward/transpose contract (dot-test) — both directions use the same
+    precision — and is a numerical no-op in float64 on CPU."""
+    import jax.numpy as jnp2
+
+    from surfh_tpu.models.spectro import SpectroSigRLSCT
+    from surfh_tpu.simulation.synthetic import make_setup
+
+    fx = make_setup(im_size=31, n_lambda=16, n_tpl=3, n_channels=1,
+                    n_pointings=2, n_slit=3)
+    args = (fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+            fx["wavelength_axis"], fx["instrs"], fx["step_degree"],
+            fx["pointings"])
+    A = SpectroSigRLSCT(*args, dtype=jnp2.float64, window_local=True,
+                        conv_impl="matmul")
+    B = SpectroSigRLSCT(*args, dtype=jnp2.float64, window_local=True,
+                        conv_impl="matmul", conv_precision="high")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random(A.ishape))
+    np.testing.assert_array_equal(np.asarray(B.forward(x)),
+                                  np.asarray(A.forward(x)))
+    yr = jnp.asarray(rng.standard_normal(A.oshape))
+    lhs = float(jnp.vdot(B.forward(x), yr))
+    rhs = float(jnp.vdot(x, B.adjoint(yr)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+    with np.testing.assert_raises(ValueError):
+        SpectroSigRLSCT(*args, conv_precision="fast")
+
+
 def test_lmm_conv_otf_matmul_fused_exact():
     """Fused T·C (per-map DFT + Fourier-domain LMM) == lmm_maps2cube followed
     by conv_otf_matmul at machine precision in f64, and the hand transpose ==

@@ -253,3 +253,140 @@ def apply_transpose_plan_arrays(tidx, tw, values, grid_shape: Tuple[int, int]):
 def grid_points(alpha_coords: np.ndarray, beta_coords: np.ndarray) -> np.ndarray:
     """Stack 2-D coordinate fields into an [P, 2] point list (row-major)."""
     return np.vstack([alpha_coords.ravel(), beta_coords.ravel()]).T
+
+
+# ---------------------------------------------------------------------------
+# Composed window plan: gridding ∘ SRF box-sum ∘ slit windowing as ONE gather
+# ---------------------------------------------------------------------------
+#
+# The channel forward's "middle" (reference pipeline interpn → SRF blur →
+# per-slit windowing, spectroModelChannel.py:167-233) materializes a full
+# rotated local cube [W, nla, nlb], box-sums srf consecutive α rows, then
+# gathers S slit windows out of it — three HBM round-trips whose indices are
+# all static.  Composing them at construction collapses the chain to a single
+# C·srf-tap weighted gather from the (bbox-restricted) blurred image straight
+# to the slit-window outputs [S, A, sb], and its exact transpose to a single
+# sorted-COO scatter — no local cube, no broadcast, no per-slit loop.
+
+
+@dataclass(frozen=True)
+class ComposedWindowPlan:
+    """Fused gridding→box-sum→slit-window gather plan for one pointing.
+
+    idx: int32 [C, S·A·sb] flat indices into the source patch (row-major
+         over the channel's FOV bbox [ha, wb]); C = plan corners × srf.
+    w:   float [C, S·A·sb] weights.
+    csrc / cw / cdst: the sorted-COO exact transpose (destination ascending,
+         zero-weight padding allowed), cdst into the same [ha·wb] patch.
+    out_shape: (S, A, sb).
+    patch_shape: (ha, wb).
+    """
+
+    idx: np.ndarray
+    w: np.ndarray
+    csrc: np.ndarray
+    cw: np.ndarray
+    cdst: np.ndarray
+    out_shape: Tuple[int, int, int]
+    patch_shape: Tuple[int, int]
+
+
+def compose_window_plan(
+    plan: BilinearPlan,
+    a_starts,
+    b_starts,
+    box_offset: int,
+    srf: int,
+    n_aout: int,
+    sb: int,
+    local_shape: Tuple[int, int],
+    bbox: Tuple[int, int, int, int],
+    dtype=np.float64,
+) -> ComposedWindowPlan:
+    """Build the fused plan (host, once per channel·pointing).
+
+    window[s, a, b] = Σ_{j<srf} local[a0_s+off + a·srf + j, b0_s + b] with
+    local[q] = Σ_c plan.w[c, q] · blurred[plan.idx[c, q]]; indices are
+    rebased to the bbox patch (every nonzero-weight source pixel lies inside
+    the bbox by construction — it was computed from exactly these taps)."""
+    nla, nlb = local_shape
+    a0_bb, b0_bb, ha, wb = bbox
+    nb_g = plan.shape[1]
+    S = len(a_starts)
+    a_starts = np.asarray(a_starts, np.int64)
+    b_starts = np.asarray(b_starts, np.int64)
+    # local-grid flat index of every (s, a, b, j) contribution source row
+    a_idx = (
+        a_starts[:, None, None, None]
+        + box_offset
+        + np.arange(n_aout)[None, :, None, None] * srf
+        + np.arange(srf)[None, None, None, :]
+    )  # [S, A, 1, srf]
+    b_idx = b_starts[:, None, None, None] + np.arange(sb)[None, None, :, None]
+    q = (a_idx * nlb + b_idx).reshape(-1)  # [S·A·sb·srf] local flat indices
+    C0 = plan.idx.shape[0]
+    gidx = plan.idx[:, q].astype(np.int64)  # [C0, S·A·sb·srf] global flat
+    gw = plan.w[:, q].astype(dtype)
+    # rebase to the bbox patch (zero-weight taps may fall outside — clip)
+    rows = np.clip(gidx // nb_g - a0_bb, 0, ha - 1)
+    cols = np.clip(gidx % nb_g - b0_bb, 0, wb - 1)
+    pidx = rows * wb + cols
+    n_out = S * n_aout * sb
+    idx = pidx.reshape(C0, n_out, srf).transpose(0, 2, 1).reshape(C0 * srf, n_out)
+    w = gw.reshape(C0, n_out, srf).transpose(0, 2, 1).reshape(C0 * srf, n_out)
+    # Merge duplicate taps per output: consecutive srf rows land in adjacent
+    # interpolation cells, so they share ~2 of 4 corners — the raw 4·srf
+    # taps hold only ~2·(srf+1) unique source pixels.  Sum weights of equal
+    # indices, then compact columns to the max unique count (the gather cost
+    # scales with C, measured slower than the staged pipeline without this).
+    order = np.argsort(idx, axis=0, kind="stable")
+    si = np.take_along_axis(idx, order, axis=0)
+    sw = np.take_along_axis(w, order, axis=0).copy()
+    C_raw = si.shape[0]
+    for k in range(C_raw - 1):
+        dup = si[k + 1] == si[k]
+        sw[k + 1] = np.where(dup, sw[k + 1] + sw[k], sw[k + 1])
+        sw[k] = np.where(dup, 0, sw[k])
+    compact = np.argsort(sw == 0, axis=0, kind="stable")  # nonzero first
+    si = np.take_along_axis(si, compact, axis=0)
+    sw = np.take_along_axis(sw, compact, axis=0)
+    c_max = max(1, int((sw != 0).sum(axis=0).max()))
+    idx = np.where(sw[:c_max] != 0, si[:c_max], 0)
+    w = sw[:c_max]
+    # exact transpose as sorted COO over the same taps
+    src = np.tile(np.arange(n_out, dtype=np.int64), idx.shape[0])
+    dst = idx.reshape(-1)
+    ww = w.reshape(-1)
+    keep = ww != 0
+    src, dst, ww = src[keep], dst[keep], ww[keep]
+    order = np.argsort(dst, kind="stable")
+    return ComposedWindowPlan(
+        idx=idx.astype(np.int32),
+        w=np.ascontiguousarray(w),
+        csrc=src[order].astype(np.int32),
+        cw=np.ascontiguousarray(ww[order]),
+        cdst=dst[order].astype(np.int32),
+        out_shape=(S, n_aout, sb),
+        patch_shape=(ha, wb),
+    )
+
+
+def apply_composed_plan(cidx, cw, patch_flat):
+    """patch_flat [..., ha·wb] → windows [..., S·A·sb] (weighted gather).
+
+    One fused take over all C taps + a weighted contraction: measured
+    faster on TPU than C dependent take-accumulate steps (the unrolled
+    spelling serializes C gathers)."""
+    C, n_out = cidx.shape
+    g = jnp.take(patch_flat, cidx.reshape(-1), axis=-1)
+    g = g.reshape(patch_flat.shape[:-1] + (C, n_out))
+    return jnp.einsum("...cp,cp->...p", g, cw)
+
+
+def apply_composed_plan_t(csrc, cw, cdst, values, patch_pixels: int):
+    """Exact transpose: values [..., S·A·sb] → patch [..., ha·wb]."""
+    contrib = jnp.take(values, csrc, axis=-1) * cw
+    out = jnp.zeros(values.shape[:-1] + (patch_pixels,), values.dtype)
+    return out.at[..., cdst].add(
+        contrib, indices_are_sorted=True, unique_indices=False
+    )

@@ -21,6 +21,7 @@ for output-parity studies.
 
 from __future__ import annotations
 
+import os
 from math import ceil
 from typing import List, Optional, Tuple
 
@@ -321,6 +322,45 @@ class Channel:
         # exactness; fall back to the FFT path when windows touch the edges.
         self._box_offset = self._calibrate_box_offset()
 
+        # --- composed window plan -----------------------------------------
+        # When the direct box-sum is exact, the whole middle chain
+        # (bilinear gridding → SRF box-sum → per-slit windowing) is one
+        # static linear gather; compose it at construction into a single
+        # C·srf-tap plan per pointing (core/bilinear.py ComposedWindowPlan).
+        # Eliminates the materialized [W, nla, nlb] local cube, the α-srf
+        # broadcast and the sequential slit scatter in BOTH directions —
+        # the same taps, the same math, one gather (fwd) / one sorted
+        # scatter (adj).  SURFH_COMPOSED_GRIDDING=0 restores the staged
+        # pipeline.
+        self._composed_stack = None
+        if (
+            self._box_offset is not None
+            and os.environ.get("SURFH_COMPOSED_GRIDDING", "1") != "0"
+        ):
+            n_aout = self.oshape[3]
+            sb = self.slit_shape[2]
+            cplans = [
+                bilinear.compose_window_plan(
+                    p, self.slit_a_starts, self.slit_b_starts,
+                    self._box_offset, self.srf, n_aout, sb,
+                    self.local_im_shape, self._tbbox, npdtype,
+                )
+                for p in self.plans_fwd
+            ]
+            n_patch = self._tbbox[2] * self._tbbox[3]
+            _mmax = max(c.csrc.shape[0] for c in cplans)
+
+            def _padc(a, fill):
+                return np.pad(a, (0, _mmax - a.shape[0]), constant_values=fill)
+
+            self._composed_stack = (
+                np.stack([c.idx for c in cplans]),
+                np.stack([c.w for c in cplans]),
+                np.stack([_padc(c.csrc, 0) for c in cplans]),
+                np.stack([_padc(c.cw, 0) for c in cplans]),
+                np.stack([_padc(c.cdst, n_patch - 1) for c in cplans]),
+            )
+
         self._forward_jit = jax.jit(self._forward_fn)
         self._adjoint_jit = None
         self._adjoint_interp_jit = None
@@ -397,13 +437,18 @@ class Channel:
         remote-compile tunnel nor cache compactly.  Passing this dict as an
         argument keeps the HLO small; values live in HBM once (device_put by
         the caller) and are shared across forward/adjoint/solver compiles."""
-        return {
+        t = {
             "wpsf": self._wpsf_dev,
             "plan_idx": self._plans_fwd_stack[0],
             "plan_w": self._plans_fwd_stack[1],
             "tplan": self._tplans_fwd_stack,
             "slit_w": self.slit_weights_sub,
         }
+        if self._composed_stack is not None:
+            cg_idx, cg_w, ct_src, ct_w, ct_dst = self._composed_stack
+            t["cgrid"] = (cg_idx, cg_w)
+            t["cgrid_t"] = (ct_src, ct_w, ct_dst)
+        return t
 
     def band_plan(self):
         """Banded-contraction plan of this channel's wpsf (built lazily)."""
@@ -497,13 +542,15 @@ class Channel:
 
         return jax.lax.fori_loop(0, S, body, out)
 
-    def _forward_one_pointing(self, xw, wpsf, impl, idx, w, slit_w=None):
+    def _forward_one_pointing(self, xw, wpsf, impl, idx, w, slit_w=None,
+                              cgrid=None):
         """One pointing's S·L·R·Sig pipeline: windowed cube → [S, λ', α].
 
         `slit_w` overrides the baked slit-weight table — pass it (with idx/w
         sourced from :meth:`host_tables`) to keep every large array a traced
         jit argument instead of an embedded HLO constant (the tunnel-friendly
-        flagship-scale mode)."""
+        flagship-scale mode).  `cgrid` = (cidx, cw) runs the composed
+        gridding∘box-sum∘window gather (same math, one gather stage)."""
         n_aout = self.oshape[3]
         srf = self.srf
         nla, nlb = self.local_im_shape
@@ -512,8 +559,20 @@ class Channel:
         W_ = xw.shape[0]
         if slit_w is None:
             slit_w = self.slit_weights_sub
-        gridded = bilinear.apply_plan(idx, w, xw).reshape(W_, nla, nlb)
-        if off is not None:
+        if cgrid is not None:
+            a0, b0, ha, wb = self._tbbox
+            patch = xw if xw.shape[-2:] == (ha, wb) else (
+                xw[:, a0 : a0 + ha, b0 : b0 + wb]
+            )
+            win = bilinear.apply_composed_plan(
+                cgrid[0], cgrid[1], patch.reshape(W_, ha * wb)
+            )
+            S = self.oshape[1]
+            windows = jnp.transpose(
+                win.reshape(W_, S, n_aout, self.slit_shape[2]), (1, 0, 2, 3)
+            )
+        elif off is not None:
+            gridded = bilinear.apply_plan(idx, w, xw).reshape(W_, nla, nlb)
             # direct SRF box-sum: gather srf·n_aout rows per slit, fold the
             # srf axis by reshape and sum — no FFT pair needed
             windows = self._gather_slit_windows(gridded, off, n_aout * srf)
@@ -521,6 +580,7 @@ class Channel:
                 axis=3
             )
         else:
+            gridded = bilinear.apply_plan(idx, w, xw).reshape(W_, nla, nlb)
             summed = fft.idft(fft.dft(gridded) * self.otf_combined, (nla, nlb))
             # strided α read: gather the covering rows then subsample
             windows = self._gather_slit_windows(
@@ -544,24 +604,37 @@ class Channel:
             plans = self._plans_fwd_dev
             stack = self._plans_fwd_stack
             slit_w = None
+            comp = (
+                self._composed_stack[:2] if self._composed_stack is not None
+                else None
+            )
         else:
             stack = (tables["plan_idx"], tables["plan_w"])
             plans = [(stack[0][p], stack[1][p]) for p in range(len(self.pointings))]
             slit_w = tables["slit_w"]
+            comp = tables.get("cgrid")
         if not self.pointing_scan:
             # unrolled: constant gather tables, full cross-pointing fusion
             return jnp.stack(
                 [
-                    self._forward_one_pointing(xw, wpsf, impl, idx, w, slit_w)
-                    for idx, w in plans
+                    self._forward_one_pointing(
+                        xw, wpsf, impl, idx, w, slit_w,
+                        cgrid=None if comp is None
+                        else (comp[0][p], comp[1][p]),
+                    )
+                    for p, (idx, w) in enumerate(plans)
                 ]
             )
 
         def body(_, plan):
-            idx, w = plan
-            return None, self._forward_one_pointing(xw, wpsf, impl, idx, w, slit_w)
+            idx, w = plan[0], plan[1]
+            cgrid = (plan[2], plan[3]) if len(plan) > 2 else None
+            return None, self._forward_one_pointing(
+                xw, wpsf, impl, idx, w, slit_w, cgrid=cgrid
+            )
 
-        _, per_pointing = jax.lax.scan(body, None, stack)
+        xs = tuple(stack) + (tuple(comp) if comp is not None else ())
+        _, per_pointing = jax.lax.scan(body, None, xs)
         return per_pointing
 
     def _forward_fn(self, cube):
@@ -639,7 +712,7 @@ class Channel:
         wp2d = wpsf.reshape(K, W * sb)
         off = self._box_offset
 
-        def one_pointing(yp, tplan):
+        def one_pointing(yp, tplan, cgrid_t=None):
             # transpose of wblur_sum_beta, all slits at once
             if banded:
                 win_t = wblur_pallas.wblur_sum_beta_t_banded(
@@ -653,6 +726,21 @@ class Channel:
                 ).reshape(S, n_aout, W, sb)
                 win_t = jnp.transpose(win_t, (0, 2, 1, 3))
             win_t = win_t * slit_w[:, jnp.newaxis, :, :]
+            if cgrid_t is not None:
+                # composed transpose: window outputs → bbox patch in ONE
+                # sorted scatter (exact transpose of the composed gather)
+                a0, b0, ha, wb = self._tbbox
+                vals = jnp.transpose(win_t, (1, 0, 2, 3)).reshape(W, -1)
+                patch = bilinear.apply_composed_plan_t(
+                    *cgrid_t, vals, ha * wb
+                ).reshape(W, ha, wb)
+                if bbox_out:
+                    return patch
+                na_g, nb_g = self.imshape
+                return jnp.pad(
+                    patch,
+                    ((0, 0), (a0, na_g - a0 - ha), (b0, nb_g - b0 - wb)),
+                )
             if off is not None:
                 # transpose of the direct box-sum: broadcast each window row
                 # over its srf source rows, contiguous block adds, no FFT
@@ -699,17 +787,30 @@ class Channel:
         stack = (
             self._tplans_fwd_stack if tables is None else tables["tplan"]
         )
+        if tables is not None:
+            comp_t = tables.get("cgrid_t")
+        elif self._composed_stack is not None:
+            comp_t = self._composed_stack[2:]
+        else:
+            comp_t = None
+        if comp_t is not None:
+            stack = comp_t  # the staged transpose tables go unused
         if not self.pointing_scan:
             out = jnp.zeros(out_shape, y.dtype)
             for p_idx in range(len(self.pointings)):
-                out = out + one_pointing(
-                    y[p_idx], tuple(t[p_idx] for t in stack)
+                tp = tuple(t[p_idx] for t in stack)
+                out = out + (
+                    one_pointing(y[p_idx], None, cgrid_t=tp)
+                    if comp_t is not None
+                    else one_pointing(y[p_idx], tp)
                 )
             return out
 
         def body(acc, xs):
-            yp, *tplan = xs
-            return acc + one_pointing(yp, tuple(tplan)), None
+            yp, *tp = xs
+            if comp_t is not None:
+                return acc + one_pointing(yp, None, cgrid_t=tuple(tp)), None
+            return acc + one_pointing(yp, tuple(tp)), None
 
         out, _ = jax.lax.scan(
             body,

@@ -272,6 +272,75 @@ def lcg(
     return res
 
 
+def _mmmg_body(normal_op, x, g, d_prev, q_prev, *op_args):
+    """One MM memory-gradient iteration.  `q_prev` carries Q·d_prev from the
+    previous step (exact by linearity: the new d is a·d0 + c·d_prev, so
+    Q·d_new = a·q0 + c·q_prev) — ONE normal application per iteration
+    instead of the naive two."""
+    d0 = -g
+    q0 = normal_op(d0, *op_args)
+    q1 = q_prev
+    # minimize J(x + a·d0 + c·d_prev): solve the 2×2 Gram system
+    a00 = jnp.vdot(d0, q0).real
+    a01 = jnp.vdot(d0, q1).real
+    a11 = jnp.vdot(d_prev, q1).real
+    g0d = jnp.vdot(g, d0).real
+    g1d = jnp.vdot(g, d_prev).real
+    det = a00 * a11 - a01 * a01
+    safe = jnp.abs(det) > 1e-30
+    a = jnp.where(safe, (-g0d * a11 + g1d * a01) / jnp.where(safe, det, 1.0), -g0d / a00)
+    c = jnp.where(safe, (g0d * a01 - g1d * a00) / jnp.where(safe, det, 1.0), 0.0)
+    step = a * d0 + c * d_prev
+    x = x + step
+    g = g + a * q0 + c * q1
+    q_new = a * q0 + c * q1
+    return x, g, step, q_new
+
+
+def _mmmg_dispatch(normal_op, b, x0, max_iter, tol, op_args,
+                   check_every: int = 25):
+    """mmmg as Python-orchestrated per-iteration dispatches (the
+    flagship-scale mode, same rationale as :func:`_lcg_dispatch`)."""
+    key = ("mstep", id(normal_op), x0.shape, str(x0.dtype), len(op_args))
+    if key in _MMMG_CACHE:
+        step, init_state = _MMMG_CACHE[key][0]
+    else:
+        @jax.jit
+        def step(x, g, d_prev, q_prev, *op_args):
+            x, g, d, q = _mmmg_body(normal_op, x, g, d_prev, q_prev, *op_args)
+            return x, g, d, q, jnp.linalg.norm(g.ravel()).astype(jnp.float32)
+
+        @jax.jit
+        def init_state(x0, b, *op_args):
+            g0 = normal_op(x0, *op_args) - b
+            q0 = normal_op(-g0, *op_args)
+            alpha = jnp.vdot(g0, g0).real / jnp.vdot(-g0, q0).real
+            x1 = x0 + alpha * (-g0)
+            g1 = g0 + alpha * q0
+            return (
+                x1, g1, alpha * (-g0), alpha * q0,
+                jnp.linalg.norm(g0.ravel()).astype(jnp.float32),
+                jnp.linalg.norm(g1.ravel()).astype(jnp.float32),
+                jnp.linalg.norm(b.ravel()).astype(jnp.float32),
+            )
+
+        _MMMG_CACHE[key] = ((step, init_state), normal_op)
+    x, g, d, q, gnorm0, gnorm1, bnorm = init_state(x0, b, *op_args)
+    bnorm_f, gnorm0_f = float(bnorm), float(gnorm0)
+    norms = [gnorm1]
+    it = 1
+    while it < max_iter:
+        x, g, d, q, gn = step(x, g, d, q, *op_args)
+        norms.append(gn)
+        it += 1
+        if it % check_every == 0 or it == max_iter:
+            if float(norms[-1]) <= tol * bnorm_f:
+                break
+    norms_np = np.asarray(jnp.stack(norms), np.float64)
+    converged = bool(norms_np[-1] <= tol * bnorm_f)
+    return x, norms_np, it, gnorm0_f, converged
+
+
 def mmmg(
     normal_op: Callable,
     b,
@@ -280,15 +349,33 @@ def mmmg(
     tol: float = 1e-12,
     callback: Optional[Callable] = None,
     op_args: tuple = (),
+    loop: str = "graph",
 ) -> SolverResult:
     """MM memory-gradient for the quadratic J(x) = ½xᵀQx − bᵀx.
 
     Each step minimizes J exactly over span{−∇J, x − x_prev} (a 2×2 linear
-    solve) — the quadratic specialization of `qmm.mmmg`.  `op_args` as in
-    :func:`lcg`.
+    solve) — the quadratic specialization of `qmm.mmmg`, at ONE normal
+    application per iteration (Q·d_prev is carried by linearity).
+    `op_args` / `loop` as in :func:`lcg` (`loop="dispatch"` keeps the
+    iteration out of the graph — mandatory at flagship scale, where the
+    while-loop carry would hold a private HBM copy of every table).
     """
     x0 = jnp.asarray(x0)
     b = jnp.asarray(b, x0.dtype)
+
+    if loop == "dispatch":
+        x, norms, it, gnorm0, converged = _mmmg_dispatch(
+            normal_op, b, x0, max_iter, tol, op_args
+        )
+        res = SolverResult(
+            x=np.asarray(x),
+            grad_norm=np.concatenate([[gnorm0], norms]),
+            n_iter=it,
+            converged=converged,
+        )
+        if callback is not None:
+            callback(res)
+        return res
 
     key = (id(normal_op), max_iter, x0.shape, str(x0.dtype), len(op_args))
     if key in _MMMG_CACHE:
@@ -313,29 +400,16 @@ def mmmg(
         norms = jnp.zeros((max_iter,), x0.dtype)
 
         def cond(state):
-            x, g, d_prev, it, norms = state
+            x, g, d_prev, q_prev, it, norms = state
             return jnp.logical_and(it < max_iter, jnp.linalg.norm(g.ravel()) > tol * bnorm)
 
         def body(state):
-            x, g, d_prev, it, norms = state
-            d0 = -g
-            q0 = normal_op(d0, *op_args)
-            q1 = normal_op(d_prev, *op_args)
-            # minimize J(x + a·d0 + c·d_prev): solve the 2×2 Gram system
-            a00 = jnp.vdot(d0, q0).real
-            a01 = jnp.vdot(d0, q1).real
-            a11 = jnp.vdot(d_prev, q1).real
-            g0d = jnp.vdot(g, d0).real
-            g1d = jnp.vdot(g, d_prev).real
-            det = a00 * a11 - a01 * a01
-            safe = jnp.abs(det) > 1e-30
-            a = jnp.where(safe, (-g0d * a11 + g1d * a01) / jnp.where(safe, det, 1.0), -g0d / a00)
-            c = jnp.where(safe, (g0d * a01 - g1d * a00) / jnp.where(safe, det, 1.0), 0.0)
-            step = a * d0 + c * d_prev
-            x = x + step
-            g = g + a * q0 + c * q1
+            x, g, d_prev, q_prev, it, norms = state
+            x, g, step, q_new = _mmmg_body(
+                normal_op, x, g, d_prev, q_prev, *op_args
+            )
             norms = norms.at[it].set(jnp.linalg.norm(g.ravel()))
-            return x, g, step, it + 1, norms
+            return x, g, step, q_new, it + 1, norms
 
         # first iteration: steepest descent (no memory direction yet)
         q0 = normal_op(-g0, *op_args)
@@ -343,8 +417,8 @@ def mmmg(
         x1 = x0 + alpha * (-g0)
         g1 = g0 + alpha * q0
         norms = norms.at[0].set(jnp.linalg.norm(g1.ravel()))
-        state = (x1, g1, alpha * (-g0), jnp.asarray(1), norms)
-        x, g, d, it, norms = jax.lax.while_loop(cond, body, state)
+        state = (x1, g1, alpha * (-g0), alpha * q0, jnp.asarray(1), norms)
+        x, g, d, q, it, norms = jax.lax.while_loop(cond, body, state)
         return x, norms, it, jnp.linalg.norm(g0.ravel())
 
     _MMMG_CACHE[key] = (run, normal_op)

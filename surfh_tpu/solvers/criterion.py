@@ -194,7 +194,7 @@ class QuadCriterion_MRS:
         else:
             res = mmmg(
                 self.normal_op, self.b, init, max_iter=maximum_iterations,
-                tol=tolerance, op_args=self._op_args,
+                tol=tolerance, op_args=self._op_args, loop=solver_loop,
             )
         if self.printing:
             print(f"Total time needed for {method}: {time.perf_counter() - t0:.3f}s")

@@ -210,6 +210,28 @@ def test_lcg_dispatch_matches_graph():
     np.testing.assert_allclose(a.grad_norm, b.grad_norm, rtol=1e-6)
 
 
+def test_mmmg_dispatch_matches_graph():
+    """Dispatch-mode mmmg (the flagship-scale path) minimizes the same
+    quadratic as the graph build — same iterate sequence modulo f32
+    telemetry, and both reach the same criterion value."""
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_model
+    from surfh_tpu.solvers.criterion import QuadCriterion_MRS
+
+    model, setup = make_model(
+        im_size=31, n_lambda=16, n_tpl=3, n_channels=1, n_pointings=1,
+        n_slit=3, dtype=jnp.float64,
+    )
+    y = np.asarray(model.forward(setup["maps"]))
+    crit = QuadCriterion_MRS(1.0, y, model, 10.0)
+    a = crit.run_method("mmmg", maximum_iterations=25)
+    b = crit.run_method("mmmg", maximum_iterations=25, solver_loop="dispatch")
+    assert a.n_iter == b.n_iter == 25
+    np.testing.assert_allclose(b.x, a.x, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(a.grad_norm, b.grad_norm, rtol=1e-6)
+
+
 def test_lcg_chained_dispatch_matches_unchained():
     """chain_steps=K unrolls K CG iterations per dispatched program (one
     tunnel RTT per K iterations); the iterate sequence is the same math, so

@@ -62,25 +62,33 @@ def mmmg_huber(
     priors: Sequence[Tuple[Callable, Callable, float, float]],
     x0,
     max_iter: int = 500,
+    loop: str = "graph",
 ):
     """MM memory-gradient for J(x) = ½‖Hx−y‖² + Σ_k µ_k Σ Huber_δk(D_k x).
 
     priors: sequence of (D_fwd, D_adj, delta, mu).
     The majorant at x uses Huber weights w = φ'(u)/u; subspace directions are
     d0 = −∇J and d1 = x − x_prev, with the step from the 2×2 majorant system.
+
+    H·x and H·x_prev are carried across iterations (exact by linearity:
+    H·x_new = H·x + s·h0 + t·h1 and h1 = H·x − H·x_prev), so each iteration
+    costs ONE forward (h0 = H·d0) + one adjoint instead of three forwards.
+    `loop="dispatch"` runs the iteration as Python-orchestrated per-step
+    jitted programs (the flagship-scale mode — an in-graph loop threads
+    every captured table through the carry with a private HBM copy).
     """
     x0 = jnp.asarray(x0)
     y = jnp.asarray(y, x0.dtype)
 
-    def grad(x):
-        g = data_adj(data_fwd(x) - y)
+    def grad_from(hx, x):
+        g = data_adj(hx - y)
         for D, Dt, delta, mu in priors:
             g = g + mu * Dt(huber_grad(D(x), delta))
         return g
 
-    def quad_form(x, d0, d1):
-        """Majorant Gram matrix entries over the subspace {d0, d1}."""
-        h0, h1 = data_fwd(d0), data_fwd(d1)
+    def quad_entries(x, d0, h0, d1, h1):
+        """Majorant Gram entries over {d0, d1}; data parts from the carried
+        H-images."""
         a00 = jnp.vdot(h0, h0).real
         a01 = jnp.vdot(h0, h1).real
         a11 = jnp.vdot(h1, h1).real
@@ -92,32 +100,65 @@ def mmmg_huber(
             a11 = a11 + mu * jnp.vdot(w * dd1, dd1).real
         return a00, a01, a11
 
-    @jax.jit
-    def run(x0):
-        g0 = grad(x0)
+    def init(x0):
+        hx0 = data_fwd(x0)
+        g0 = grad_from(hx0, x0)
+        h0 = data_fwd(-g0)
         # first step: steepest descent on the majorant
-        a00, _, _ = quad_form(x0, -g0, -g0)
+        a00, _, _ = quad_entries(x0, -g0, h0, -g0, h0)
         alpha = jnp.vdot(g0, g0).real / jnp.maximum(a00, 1e-30)
         x1 = x0 - alpha * g0
+        # h0 = H·(−g0) and x1 = x0 + α·(−g0), so H·x1 = H·x0 + α·h0
+        hx1 = hx0 + alpha * h0
+        return x1, x0, hx1, hx0
+
+    def step(x, x_prev, hx, hx_prev):
+        g = grad_from(hx, x)
+        d0 = -g
+        h0 = data_fwd(d0)
+        d1 = x - x_prev
+        h1 = hx - hx_prev
+        a00, a01, a11 = quad_entries(x, d0, h0, d1, h1)
+        b0 = -jnp.vdot(g, d0).real
+        b1 = -jnp.vdot(g, d1).real
+        det = a00 * a11 - a01 * a01
+        safe = jnp.abs(det) > 1e-30
+        s = jnp.where(safe, (b0 * a11 - b1 * a01) / jnp.where(safe, det, 1.0), b0 / jnp.maximum(a00, 1e-30))
+        t = jnp.where(safe, (b1 * a00 - b0 * a01) / jnp.where(safe, det, 1.0), 0.0)
+        x_new = x + s * d0 + t * d1
+        hx_new = hx + s * h0 + t * h1
+        gnorm = jnp.linalg.norm(g.ravel())
+        return x_new, x, hx_new, hx, gnorm
+
+    if loop == "dispatch":
+        init_jit = jax.jit(init)
+        step_jit = jax.jit(step)
+        x, x_prev, hx, hx_prev = init_jit(x0)
+        norms = []
+        for _ in range(1, max_iter):
+            x, x_prev, hx, hx_prev, gn = step_jit(x, x_prev, hx, hx_prev)
+            norms.append(gn.astype(jnp.float32))
+        return SolverResult(
+            x=np.asarray(x),
+            grad_norm=np.asarray([float(g) for g in norms], np.float64),
+            n_iter=max_iter,
+            converged=True,
+        )
+
+    @jax.jit
+    def run(x0):
+        x1, xp, hx1, hxp = init(x0)
         norms = jnp.zeros((max_iter,), x0.dtype)
 
         def body(it, state):
-            x, x_prev, norms = state
-            g = grad(x)
-            d0 = -g
-            d1 = x - x_prev
-            a00, a01, a11 = quad_form(x, d0, d1)
-            b0 = -jnp.vdot(g, d0).real
-            b1 = -jnp.vdot(g, d1).real
-            det = a00 * a11 - a01 * a01
-            safe = jnp.abs(det) > 1e-30
-            s = jnp.where(safe, (b0 * a11 - b1 * a01) / jnp.where(safe, det, 1.0), b0 / jnp.maximum(a00, 1e-30))
-            t = jnp.where(safe, (b1 * a00 - b0 * a01) / jnp.where(safe, det, 1.0), 0.0)
-            x_new = x + s * d0 + t * d1
-            norms = norms.at[it].set(jnp.linalg.norm(g.ravel()))
-            return x_new, x, norms
+            x, x_prev, hx, hx_prev, norms = state
+            x_new, x, hx_new, hx, gnorm = step(x, x_prev, hx, hx_prev)
+            norms = norms.at[it].set(gnorm)
+            return x_new, x, hx_new, hx, norms
 
-        x, x_prev, norms = jax.lax.fori_loop(1, max_iter, body, (x1, x0, norms))
+        x, x_prev, hx, hx_prev, norms = jax.lax.fori_loop(
+            1, max_iter, body, (x1, xp, hx1, hxp, norms)
+        )
         return x, norms
 
     x, norms = run(x0)

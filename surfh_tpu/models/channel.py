@@ -439,15 +439,19 @@ class Channel:
         the caller) and are shared across forward/adjoint/solver compiles."""
         t = {
             "wpsf": self._wpsf_dev,
-            "plan_idx": self._plans_fwd_stack[0],
-            "plan_w": self._plans_fwd_stack[1],
-            "tplan": self._tplans_fwd_stack,
             "slit_w": self.slit_weights_sub,
         }
         if self._composed_stack is not None:
+            # composed mode: the staged gather/transpose tables go unused —
+            # omitting them saves their HBM residency and tunnel upload
+            # (they are replicated per device in the sharded modes)
             cg_idx, cg_w, ct_src, ct_w, ct_dst = self._composed_stack
             t["cgrid"] = (cg_idx, cg_w)
             t["cgrid_t"] = (ct_src, ct_w, ct_dst)
+        else:
+            t["plan_idx"] = self._plans_fwd_stack[0]
+            t["plan_w"] = self._plans_fwd_stack[1]
+            t["tplan"] = self._tplans_fwd_stack
         return t
 
     def band_plan(self):
@@ -543,7 +547,7 @@ class Channel:
         return jax.lax.fori_loop(0, S, body, out)
 
     def _forward_one_pointing(self, xw, wpsf, impl, idx, w, slit_w=None,
-                              cgrid=None):
+                              cgrid=None, bbox_in=False):
         """One pointing's S·L·R·Sig pipeline: windowed cube → [S, λ', α].
 
         `slit_w` overrides the baked slit-weight table — pass it (with idx/w
@@ -560,10 +564,11 @@ class Channel:
         if slit_w is None:
             slit_w = self.slit_weights_sub
         if cgrid is not None:
+            # `bbox_in` is the explicit caller contract (symmetric with the
+            # adjoint's `bbox_out`): True = xw is already the FOV-bbox patch
+            # (the matmul-conv tabled path), False = full sky grid.
             a0, b0, ha, wb = self._tbbox
-            patch = xw if xw.shape[-2:] == (ha, wb) else (
-                xw[:, a0 : a0 + ha, b0 : b0 + wb]
-            )
+            patch = xw if bbox_in else xw[:, a0 : a0 + ha, b0 : b0 + wb]
             win = bilinear.apply_composed_plan(
                 cgrid[0], cgrid[1], patch.reshape(W_, ha * wb)
             )
@@ -599,41 +604,52 @@ class Channel:
             ).astype(xw.dtype)
         return wblur.wblur_sum_beta_batched(windows, wpsf)
 
-    def _forward_windowed_impl(self, xw, wpsf, impl, tables=None):
+    def _forward_windowed_impl(self, xw, wpsf, impl, tables=None,
+                               bbox_in=False):
+        n_pt = len(self.pointings)
         if tables is None:
-            plans = self._plans_fwd_dev
-            stack = self._plans_fwd_stack
             slit_w = None
             comp = (
                 self._composed_stack[:2] if self._composed_stack is not None
                 else None
             )
+            stack = None if comp is not None else self._plans_fwd_stack
         else:
-            stack = (tables["plan_idx"], tables["plan_w"])
-            plans = [(stack[0][p], stack[1][p]) for p in range(len(self.pointings))]
             slit_w = tables["slit_w"]
             comp = tables.get("cgrid")
+            stack = (
+                None if comp is not None
+                else (tables["plan_idx"], tables["plan_w"])
+            )
         if not self.pointing_scan:
             # unrolled: constant gather tables, full cross-pointing fusion
             return jnp.stack(
                 [
                     self._forward_one_pointing(
-                        xw, wpsf, impl, idx, w, slit_w,
+                        xw, wpsf, impl,
+                        None if stack is None else stack[0][p],
+                        None if stack is None else stack[1][p],
+                        slit_w,
                         cgrid=None if comp is None
                         else (comp[0][p], comp[1][p]),
+                        bbox_in=bbox_in,
                     )
-                    for p, (idx, w) in enumerate(plans)
+                    for p in range(n_pt)
                 ]
             )
 
         def body(_, plan):
-            idx, w = plan[0], plan[1]
-            cgrid = (plan[2], plan[3]) if len(plan) > 2 else None
+            if comp is not None:
+                idx = w = None
+                cgrid = (plan[0], plan[1])
+            else:
+                idx, w = plan[0], plan[1]
+                cgrid = None
             return None, self._forward_one_pointing(
-                xw, wpsf, impl, idx, w, slit_w, cgrid=cgrid
+                xw, wpsf, impl, idx, w, slit_w, cgrid=cgrid, bbox_in=bbox_in
             )
 
-        xs = tuple(stack) + (tuple(comp) if comp is not None else ())
+        xs = tuple(comp) if comp is not None else tuple(stack)
         _, per_pointing = jax.lax.scan(body, None, xs)
         return per_pointing
 
@@ -784,17 +800,15 @@ class Channel:
             (W, self._tbbox[2], self._tbbox[3]) if bbox_out
             else (W,) + self.imshape
         )
-        stack = (
-            self._tplans_fwd_stack if tables is None else tables["tplan"]
-        )
         if tables is not None:
             comp_t = tables.get("cgrid_t")
-        elif self._composed_stack is not None:
-            comp_t = self._composed_stack[2:]
+            stack = comp_t if comp_t is not None else tables["tplan"]
         else:
-            comp_t = None
-        if comp_t is not None:
-            stack = comp_t  # the staged transpose tables go unused
+            comp_t = (
+                self._composed_stack[2:] if self._composed_stack is not None
+                else None
+            )
+            stack = comp_t if comp_t is not None else self._tplans_fwd_stack
         if not self.pointing_scan:
             out = jnp.zeros(out_shape, y.dtype)
             for p_idx in range(len(self.pointings)):

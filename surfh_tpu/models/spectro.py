@@ -276,10 +276,11 @@ class SpectroSigRLSCT(LinOp):
                     kb_keep=kb_keep,
                     bbox=chan._tbbox,
                 )
-                idx = np.asarray(t["plan_idx"])
-                rows = np.clip(idx // nb_g - a0, 0, ha - 1)
-                cols = np.clip(idx % nb_g - b0, 0, wb - 1)
-                t["plan_idx"] = (rows * wb + cols).astype(idx.dtype)
+                if "plan_idx" in t:  # staged-pipeline tables (composed off)
+                    idx = np.asarray(t["plan_idx"])
+                    rows = np.clip(idx // nb_g - a0, 0, ha - 1)
+                    cols = np.clip(idx % nb_g - b0, 0, wb - 1)
+                    t["plan_idx"] = (rows * wb + cols).astype(idx.dtype)
                 supports.append(
                     dict(
                         ka_max=ka_max,
@@ -387,7 +388,7 @@ class SpectroSigRLSCT(LinOp):
                     precision=self.conv_precision,
                 )
                 return chan._forward_windowed_impl(
-                    blurred, t["wpsf"], "dense", tables=t
+                    blurred, t["wpsf"], "dense", tables=t, bbox_in=True
                 )
             cube_w = lmm.lmm_maps2cube(x, tpl_w)
         else:
@@ -399,7 +400,10 @@ class SpectroSigRLSCT(LinOp):
         else:
             sotf_w = jax.lax.complex(o_re, o_im)
             blurred = fft.idft(fft.dft(cube_w) * sotf_w, self.imshape)
-        return chan._forward_windowed_impl(blurred, t["wpsf"], "dense", tables=t)
+        return chan._forward_windowed_impl(
+            blurred, t["wpsf"], "dense", tables=t,
+            bbox_in=self.conv_impl == "matmul",
+        )
 
     def _channel_adj_tabled(self, yc, c: int, tables):
         """Exact transpose of :meth:`_channel_fwd_tabled` (maps/cube-window)."""

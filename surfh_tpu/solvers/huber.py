@@ -20,6 +20,10 @@ import numpy as np
 
 from .cg import SolverResult
 
+# Compiled dispatch-mode (init, step) programs keyed by operator identity —
+# strong refs to the keyed callables keep the ids valid (cf. cg._LCG_CACHE).
+_HUBER_CACHE: dict = {}
+
 
 def huber_value(u, delta):
     a = jnp.abs(u)
@@ -131,16 +135,29 @@ def mmmg_huber(
         return x_new, x, hx_new, hx, gnorm
 
     if loop == "dispatch":
-        init_jit = jax.jit(init)
-        step_jit = jax.jit(step)
+        # memoized per-operator compiled programs (re-tracing per call costs
+        # more than the solve — same policy as _LCG_CACHE/_MMMG_CACHE)
+        key = (
+            id(data_fwd), id(data_adj),
+            tuple((id(D), id(Dt), float(d), float(m)) for D, Dt, d, m in priors),
+            x0.shape, str(x0.dtype),
+        )
+        if key in _HUBER_CACHE:
+            init_jit, step_jit = _HUBER_CACHE[key][0]
+        else:
+            init_jit, step_jit = jax.jit(init), jax.jit(step)
+            _HUBER_CACHE[key] = ((init_jit, step_jit), data_fwd, data_adj, priors)
         x, x_prev, hx, hx_prev = init_jit(x0)
         norms = []
         for _ in range(1, max_iter):
             x, x_prev, hx, hx_prev, gn = step_jit(x, x_prev, hx, hx_prev)
             norms.append(gn.astype(jnp.float32))
+        # ONE stacked device fetch (a float() per norm costs one ~24 ms
+        # tunnel round-trip each on axon)
+        norms_np = np.asarray(jnp.stack(norms), np.float64)
         return SolverResult(
             x=np.asarray(x),
-            grad_norm=np.asarray([float(g) for g in norms], np.float64),
+            grad_norm=norms_np,
             n_iter=max_iter,
             converged=True,
         )
@@ -179,6 +196,7 @@ def vox_reconstruction(
     spec_th: float = 1.0,
     init=None,
     max_iter: int = 500,
+    loop: str = "graph",
 ) -> SolverResult:
     """Voxel-cube reconstruction with Huber spatial-row/col + spectral priors
     (reference algorithms.vox_reconstruction, :27-71).  `data_model` maps a
@@ -193,7 +211,7 @@ def vox_reconstruction(
     ]
     if init is None:
         init = data_adj_init(data_model, data)
-    return mmmg_huber(fwd, adj, data, priors, init, max_iter=max_iter)
+    return mmmg_huber(fwd, adj, data, priors, init, max_iter=max_iter, loop=loop)
 
 
 def lmm_reconstruction(
@@ -203,6 +221,7 @@ def lmm_reconstruction(
     spat_th: float = 1.0,
     init=None,
     max_iter: int = 500,
+    loop: str = "graph",
 ) -> SolverResult:
     """Abundance-maps reconstruction with Huber spatial priors
     (reference algorithms.lmm_reconstruction, :74-106)."""
@@ -214,7 +233,7 @@ def lmm_reconstruction(
     ]
     if init is None:
         init = data_adj_init(data_model, data)
-    return mmmg_huber(fwd, adj, data, priors, init, max_iter=max_iter)
+    return mmmg_huber(fwd, adj, data, priors, init, max_iter=max_iter, loop=loop)
 
 
 def data_adj_init(data_model, data):

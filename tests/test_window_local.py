@@ -77,7 +77,9 @@ def test_hlo_has_no_large_constants(pair):
     table_bytes = sum(
         np.asarray(leaf).nbytes for leaf in jax.tree_util.tree_leaves(tables)
     )
-    assert table_bytes > 500_000  # the fixture's tables are big...
+    # the fixture's tables are big (composed mode dropped the dead staged
+    # plan arrays, so the bar is lower than the original 500 KB)...
+    assert table_bytes > 300_000
     # ...but the HLO must not embed them: a dense f32 constant costs ~8+
     # text chars per element, so an embedding module would be ≫ table_bytes.
     assert len(text) < table_bytes
@@ -102,3 +104,46 @@ def test_criterion_lcg_window_local(pair):
     jt = crit_t.get_crit_val(res_t.x)
     assert abs(jc - jt) <= 1e-2 * abs(jc)
     assert res_t.grad_norm[-1] < res_t.grad_norm[0]
+
+
+def test_composed_gridding_matches_staged():
+    """The composed window plan (gridding∘box-sum∘slit-window as one deduped
+    gather, the default) is the SAME linear map as the staged pipeline:
+    forward, hand adjoint and dot-test agree at machine precision in f64 —
+    and the staged path keeps its own coverage via the env toggle."""
+    import os
+
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_model
+
+    kw = dict(im_size=41, n_lambda=24, n_tpl=3, n_channels=2, n_pointings=2,
+              n_slit=4, dtype=jnp.float64)
+    old = os.environ.get("SURFH_COMPOSED_GRIDDING")
+    try:
+        os.environ["SURFH_COMPOSED_GRIDDING"] = "0"
+        staged, setup = make_model(**kw)
+        os.environ["SURFH_COMPOSED_GRIDDING"] = "1"
+        composed, _ = make_model(**kw)
+    finally:
+        if old is None:
+            os.environ.pop("SURFH_COMPOSED_GRIDDING", None)
+        else:
+            os.environ["SURFH_COMPOSED_GRIDDING"] = old
+    assert all(c._composed_stack is None for c in staged.channels)
+    assert any(c._composed_stack is not None for c in composed.channels)
+    # composed-mode tables omit the dead staged plan arrays
+    for chan in composed.channels:
+        if chan._composed_stack is not None:
+            t = chan.host_tables()
+            assert "cgrid" in t and "plan_idx" not in t and "tplan" not in t
+    rng = np.random.default_rng(0)
+    x = rng.random(staged.ishape)
+    ys, yc = np.asarray(staged.forward(x)), np.asarray(composed.forward(x))
+    np.testing.assert_allclose(yc, ys, rtol=0, atol=1e-13 * np.abs(ys).max())
+    yr = rng.standard_normal(staged.oshape)
+    as_, ac = np.asarray(staged.adjoint_fn(yr)), np.asarray(composed.adjoint_fn(yr))
+    np.testing.assert_allclose(ac, as_, rtol=0, atol=1e-13 * np.abs(as_).max())
+    lhs = float(np.vdot(yc, yr))
+    rhs = float(np.vdot(x, ac))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12

@@ -8,11 +8,30 @@ margin-normalization trick and the 'dirac' re-projection mode.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import numpy as np
 
 # Margin (in input-axis samples) appended on each side purely to normalize the
 # PSF in the convolution sense; removed from the returned tensor.
 _N_MARGIN = 15
+
+# The sinc² evaluation over [λ_det, λ_in+margins, β] is the most expensive
+# model-construction stage (tens of millions of f64 sinc calls per flagship
+# band on a 1-vCPU host) and is a pure function of its inputs — cache it on
+# disk (best-effort, like the flagship sotf cache) and in memory.
+_PSF_MEM_CACHE: dict = {}
+
+
+def _psfs_cache_key(g, out_axis, beta, wavelength, scale, type_) -> str:
+    h = hashlib.sha1()
+    h.update(np.float64(g).tobytes())
+    h.update(np.float64(scale).tobytes())
+    h.update(type_.encode())
+    for a in (out_axis, beta, wavelength):
+        h.update(np.ascontiguousarray(a, np.float64).tobytes())
+    return h.hexdigest()[:20]
 
 
 class SpectralBlur:
@@ -39,6 +58,18 @@ class SpectralBlur:
         type: 'mrs' for the sinc² PSF, 'dirac' for a nearest-sample indicator
               (used to re-project detector data back to a cube).
         """
+        key = _psfs_cache_key(
+            self.grating_len, out_axis, beta, wavelength, scale, type
+        )
+        if key in _PSF_MEM_CACHE:
+            return _PSF_MEM_CACHE[key]
+        cache_dir = os.environ.get("SURFH_CACHE_DIR", "/tmp/surfh_cache")
+        cache_path = os.path.join(cache_dir, f"wpsf_{key}.npy")
+        if os.path.exists(cache_path):
+            out = np.load(cache_path)
+            _PSF_MEM_CACHE[key] = out
+            return out
+
         wavelength = np.asarray(wavelength)
         delta_w = float(np.min(np.diff(wavelength)))
 
@@ -69,4 +100,13 @@ class SpectralBlur:
             peak = out == np.max(out, axis=1, keepdims=True)
             out = peak.astype(out.dtype)
 
-        return out[:, m - 1 : -m + 1, :]
+        out = out[:, m - 1 : -m + 1, :]
+        _PSF_MEM_CACHE[key] = out
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cache_path + f".tmp{os.getpid()}.npy"
+            np.save(tmp, out)
+            os.replace(tmp, cache_path)
+        except OSError:
+            pass  # cache is best-effort (read-only or full filesystem)
+        return out

@@ -150,9 +150,13 @@ class Channel:
         self.otf_combined = np.asarray(otf_sr * decalf, npctype)
         self.otf_combined_conj = np.asarray((otf_sr * decalf).conj(), npctype)
 
-        # Spectral PSF over the channel's λ window.
+        # Spectral PSF over the channel's λ window.  The dirac variant is
+        # only consumed by the data re-projection utilities
+        # (sliceToCube/realData_*), so it builds lazily — the sinc² margin
+        # evaluation is the single most expensive construction stage
+        # (~12 s/channel at flagship scale on the 1-vCPU host).
         self.wpsf = self._build_wpsf("mrs")
-        self.wpsf_dirac = self._build_wpsf("dirac")
+        self._wpsf_dirac = None
         self._wpsf_dev = np.asarray(self.wpsf, npdtype)
 
         # Per-pointing bilinear gather plans (cube grid → rotated local grid)
@@ -167,28 +171,21 @@ class Channel:
             _plan = lambda aa, bb, pts, **kw: nearest_plan(aa, bb, pts, **kw)
         else:
             _plan = bilinear.bilinear_plan
+        self._plan_builder = _plan
         self.plans_fwd: List[bilinear.BilinearPlan] = []
-        self.plans_rev: List[bilinear.BilinearPlan] = []
         for pointing in self.pointings:
             fov = self.instr.fov + pointing
             ga, gb = fov.local2global(self.local_alpha_axis, self.local_beta_axis)
             self.plans_fwd.append(
                 _plan(self.alpha_axis, self.beta_axis, bilinear.grid_points(ga, gb))
             )
-            la, lb = fov.global2local(self.alpha_axis, self.beta_axis)
-            self.plans_rev.append(
-                _plan(
-                    self.local_alpha_axis,
-                    self.local_beta_axis,
-                    bilinear.grid_points(la, lb),
-                    fill_out_of_bounds=True,
-                )
-            )
+        # reverse plans (local grid → cube grid, interpolated at EVERY global
+        # pixel — the expensive direction) serve only the reference-parity
+        # adjoint and the data re-projection utilities: built lazily.
+        self._plans_rev = None
+        self._plans_rev_dev_cache = None
         self._plans_fwd_dev = [
             (np.asarray(p.idx), np.asarray(p.w, npdtype)) for p in self.plans_fwd
-        ]
-        self._plans_rev_dev = [
-            (np.asarray(p.idx), np.asarray(p.w, npdtype)) for p in self.plans_rev
         ]
         # Stacked per-pointing tables [P, 4, Npts] for the lax.scan pipeline:
         # scanning over pointings keeps the compiled graph O(1) in n_pointing
@@ -198,108 +195,29 @@ class Channel:
             np.stack([i for i, _ in self._plans_fwd_dev]),
             np.stack([w for _, w in self._plans_fwd_dev]),
         )
-        # Transposes of the forward gather plans.  Two layouts:
-        # - "dense" padded gather (TransposePlan): C = max contributions per
-        #   grid pixel rows, applied as C weighted gathers — scatter-free,
-        #   fastest when C is the natural 4-corner bound;
-        # - "csr" sorted-COO (CSRTransposePlan): O(M ≈ 4P) triples + ONE
-        #   sorted scatter-add.  When the sky grid is much smaller than the
-        #   instrument FOV, edge clamping drives C into the thousands and the
-        #   dense form degenerates (C·N tables, C unrolled HLO gathers — a
-        #   ~10-min trace + >10-min compile at 121²/2 bands); CSR stays flat.
-        # Weights are cast to the model dtype like the forward plans —
-        # float64 weights would silently promote the whole adjoint under x64
-        # and trip the float64→float32 scatter-dtype check downstream.
-        _csr = [bilinear.csr_transpose_plan(p) for p in self.plans_fwd]
-        _cmax = max(
-            int(np.bincount(t.dst, minlength=1).max()) if t.dst.size else 1
-            for t in _csr
-        )
-        self._tplan_kind = "dense" if _cmax <= TPLAN_DENSE_CMAX else "csr"
-        if self._tplan_kind == "dense":
-            self._tplans_fwd = [
-                bilinear.TransposePlan(t.idx, np.asarray(t.w, npdtype), t.shape)
-                for t in (bilinear.transpose_plan(p) for p in self.plans_fwd)
-            ]
-            # Stacked transpose plans for the scanned adjoint: pad C to the
-            # max over pointings (w=0 rows are inert).
-            _cpad = max(t.idx.shape[0] for t in self._tplans_fwd)
-            self._tplans_fwd_stack = (
-                np.stack(
-                    [
-                        np.pad(t.idx, ((0, _cpad - t.idx.shape[0]), (0, 0)))
-                        for t in self._tplans_fwd
-                    ]
-                ),
-                np.stack(
-                    [
-                        np.pad(t.w, ((0, _cpad - t.w.shape[0]), (0, 0)))
-                        for t in self._tplans_fwd
-                    ]
-                ),
-            )
-        else:
-            self._tplans_fwd = [
-                bilinear.CSRTransposePlan(
-                    t.src, np.asarray(t.w, npdtype), t.dst, t.shape
-                )
-                for t in _csr
-            ]
-            # pad M to the max over pointings; padding entries carry w=0 and
-            # dst=N−1 (keeps dst ascending for the sorted scatter)
-            _mmax = max(t.src.shape[0] for t in self._tplans_fwd)
-            _n_grid = int(np.prod(self._tplans_fwd[0].shape))
-
-            def _padm(a, fill):
-                return np.pad(
-                    a, (0, _mmax - a.shape[0]), constant_values=fill
-                )
-
-            self._tplans_fwd_stack = (
-                np.stack([_padm(t.src, 0) for t in self._tplans_fwd]),
-                np.stack([_padm(t.w, 0) for t in self._tplans_fwd]),
-                np.stack(
-                    [_padm(t.dst, _n_grid - 1) for t in self._tplans_fwd]
-                ),
-            )
-
-        # Restrict the transpose tables to the FOV bounding box: the
-        # instrument footprint (rotated FOV ∪ dithers) covers only ~10% of
-        # the flagship sky grid, but the padded-gather transpose pays its C
-        # gathers for EVERY grid pixel (91% guaranteed-zero traffic), and the
-        # CSR form zero-fills and scatters into the full grid.  Both now
-        # produce the bbox patch [ha, wb] and pad it into the global grid
-        # with one static-width jnp.pad (measured ~30 ms/channel off the
-        # flagship adjoint).  The affine index remap preserves the CSR dst
-        # ordering (row-major is monotone under a window crop).
+        # FOV bounding box of the instrument footprint: the union over
+        # pointings of every nonzero-weight forward-gather source pixel
+        # (identical to the transpose plans' destination set — the composed
+        # plan, the matmul conv and the staged transpose all restrict to it).
         na_g, nb_g = self.imshape
-        _any = any((t.w != 0).any() for t in _csr)
-        if _any:
-            _rows = np.concatenate([t.dst[t.w != 0] // nb_g for t in _csr])
-            _cols = np.concatenate([t.dst[t.w != 0] % nb_g for t in _csr])
-            a0, a1 = int(_rows.min()), int(_rows.max()) + 1
-            b0, b1 = int(_cols.min()), int(_cols.max()) + 1
+        _nz = [p.idx[p.w != 0] for p in self.plans_fwd]
+        _nz = [i for i in _nz if i.size]
+        if _nz:
+            _flat = np.concatenate([i.reshape(-1) for i in _nz])
+            a0, a1 = int((_flat // nb_g).min()), int((_flat // nb_g).max()) + 1
+            b0, b1 = int((_flat % nb_g).min()), int((_flat % nb_g).max()) + 1
         else:  # degenerate: no in-grid contribution
             a0, a1, b0, b1 = 0, 1, 0, 1
         ha, wb = a1 - a0, b1 - b0
         self._tbbox = (a0, b0, ha, wb)
-        if self._tplan_kind == "dense":
-            ti, tw_ = self._tplans_fwd_stack
-            npt, cpd = ti.shape[0], ti.shape[1]
-            ti = ti.reshape(npt, cpd, na_g, nb_g)[:, :, a0:a1, b0:b1]
-            tw_ = tw_.reshape(npt, cpd, na_g, nb_g)[:, :, a0:a1, b0:b1]
-            self._tplans_fwd_stack = (
-                np.ascontiguousarray(ti.reshape(npt, cpd, ha * wb)),
-                np.ascontiguousarray(tw_.reshape(npt, cpd, ha * wb)),
-            )
-        else:
-            tsrc, tw_, tdst = self._tplans_fwd_stack
-            rows = tdst // nb_g
-            cols = tdst % nb_g
-            loc = (np.clip(rows - a0, 0, ha - 1) * wb
-                   + np.clip(cols - b0, 0, wb - 1)).astype(np.int32)
-            # zero-weight padding entries (dst = N-1) clip into the bbox
-            self._tplans_fwd_stack = (tsrc, tw_, loc)
+        # The staged transpose plans (dense padded-gather or sorted-COO —
+        # see _ensure_tplans) are only needed when the composed plan is NOT
+        # in use, and their construction (csr sorts + C·N stacks at flagship
+        # scale) is a large share of model-build time: built lazily.
+        self._tplans_built = False
+        self._tplans_fwd_list = None
+        self._tplans_fwd_stack_cache = None
+        self._tplan_kind_cache = None
 
         # Slit window tables, α pre-subsampled by the SRF.
         a_starts, b_starts, weights = self.slicer.slit_tables()
@@ -374,6 +292,140 @@ class Channel:
     @property
     def beta_step(self) -> float:
         return self.beta_axis[1] - self.beta_axis[0]
+
+    @property
+    def wpsf_dirac(self) -> np.ndarray:
+        """Nearest-sample re-projection response (built on first use)."""
+        if self._wpsf_dirac is None:
+            self._wpsf_dirac = self._build_wpsf("dirac")
+        return self._wpsf_dirac
+
+    @property
+    def plans_rev(self) -> List[bilinear.BilinearPlan]:
+        """Reverse (local → global) interpolation plans, built on first use
+        — they evaluate at every global grid pixel (the expensive
+        direction) and serve only the reference-parity adjoint and the
+        data re-projection utilities."""
+        if self._plans_rev is None:
+            self._plans_rev = []
+            for pointing in self.pointings:
+                fov = self.instr.fov + pointing
+                la, lb = fov.global2local(self.alpha_axis, self.beta_axis)
+                self._plans_rev.append(
+                    self._plan_builder(
+                        self.local_alpha_axis,
+                        self.local_beta_axis,
+                        bilinear.grid_points(la, lb),
+                        fill_out_of_bounds=True,
+                    )
+                )
+        return self._plans_rev
+
+    @property
+    def _plans_rev_dev(self):
+        if self._plans_rev_dev_cache is None:
+            self._plans_rev_dev_cache = [
+                (np.asarray(p.idx), np.asarray(p.w, self._npdtype))
+                for p in self.plans_rev
+            ]
+        return self._plans_rev_dev_cache
+
+    def _ensure_tplans(self):
+        """Build the staged transpose plans on first use.
+
+        Two layouts:
+        - "dense" padded gather (TransposePlan): C = max contributions per
+          grid pixel rows, applied as C weighted gathers — scatter-free,
+          fastest when C is the natural 4-corner bound;
+        - "csr" sorted-COO (CSRTransposePlan): O(M ≈ 4P) triples + ONE
+          sorted scatter-add.  When the sky grid is much smaller than the
+          instrument FOV, edge clamping drives C into the thousands and the
+          dense form degenerates (C·N tables, C unrolled HLO gathers); CSR
+          stays flat.
+        Weights are cast to the model dtype like the forward plans.  Both
+        stacks are restricted to the FOV bbox (`_tbbox`): the padded-gather
+        transpose otherwise pays its C gathers for every grid pixel and the
+        CSR form scatters into the full grid; the affine index remap
+        preserves the CSR dst ordering (row-major is monotone under a
+        window crop)."""
+        if self._tplans_built:
+            return
+        npdtype = self._npdtype
+        na_g, nb_g = self.imshape
+        a0, b0, ha, wb = self._tbbox
+        a1, b1 = a0 + ha, b0 + wb
+        _csr = [bilinear.csr_transpose_plan(p) for p in self.plans_fwd]
+        _cmax = max(
+            int(np.bincount(t.dst, minlength=1).max()) if t.dst.size else 1
+            for t in _csr
+        )
+        self._tplan_kind_cache = "dense" if _cmax <= TPLAN_DENSE_CMAX else "csr"
+        if self._tplan_kind_cache == "dense":
+            self._tplans_fwd_list = [
+                bilinear.TransposePlan(t.idx, np.asarray(t.w, npdtype), t.shape)
+                for t in (bilinear.transpose_plan(p) for p in self.plans_fwd)
+            ]
+            # pad C to the max over pointings (w=0 rows are inert)
+            _cpad = max(t.idx.shape[0] for t in self._tplans_fwd_list)
+            ti = np.stack(
+                [
+                    np.pad(t.idx, ((0, _cpad - t.idx.shape[0]), (0, 0)))
+                    for t in self._tplans_fwd_list
+                ]
+            )
+            tw_ = np.stack(
+                [
+                    np.pad(t.w, ((0, _cpad - t.w.shape[0]), (0, 0)))
+                    for t in self._tplans_fwd_list
+                ]
+            )
+            npt, cpd = ti.shape[0], ti.shape[1]
+            ti = ti.reshape(npt, cpd, na_g, nb_g)[:, :, a0:a1, b0:b1]
+            tw_ = tw_.reshape(npt, cpd, na_g, nb_g)[:, :, a0:a1, b0:b1]
+            self._tplans_fwd_stack_cache = (
+                np.ascontiguousarray(ti.reshape(npt, cpd, ha * wb)),
+                np.ascontiguousarray(tw_.reshape(npt, cpd, ha * wb)),
+            )
+        else:
+            self._tplans_fwd_list = [
+                bilinear.CSRTransposePlan(
+                    t.src, np.asarray(t.w, npdtype), t.dst, t.shape
+                )
+                for t in _csr
+            ]
+            # pad M to the max over pointings; padding entries carry w=0 and
+            # dst=N−1 (keeps dst ascending for the sorted scatter)
+            _mmax = max(t.src.shape[0] for t in self._tplans_fwd_list)
+            _n_grid = int(np.prod(self._tplans_fwd_list[0].shape))
+
+            def _padm(a, fill):
+                return np.pad(a, (0, _mmax - a.shape[0]), constant_values=fill)
+
+            tsrc = np.stack([_padm(t.src, 0) for t in self._tplans_fwd_list])
+            tw_ = np.stack([_padm(t.w, 0) for t in self._tplans_fwd_list])
+            tdst = np.stack([_padm(t.dst, _n_grid - 1) for t in self._tplans_fwd_list])
+            rows = tdst // nb_g
+            cols = tdst % nb_g
+            loc = (np.clip(rows - a0, 0, ha - 1) * wb
+                   + np.clip(cols - b0, 0, wb - 1)).astype(np.int32)
+            # zero-weight padding entries (dst = N-1) clip into the bbox
+            self._tplans_fwd_stack_cache = (tsrc, tw_, loc)
+        self._tplans_built = True
+
+    @property
+    def _tplans_fwd(self):
+        self._ensure_tplans()
+        return self._tplans_fwd_list
+
+    @property
+    def _tplan_kind(self) -> str:
+        self._ensure_tplans()
+        return self._tplan_kind_cache
+
+    @property
+    def _tplans_fwd_stack(self):
+        self._ensure_tplans()
+        return self._tplans_fwd_stack_cache
 
     @property
     def n_wslice(self) -> int:

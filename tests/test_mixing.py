@@ -124,3 +124,23 @@ def test_huber_mmmg_decreases_objective(wct):
     res = lmm_reconstruction(y, model, spat_reg=1e-3, spat_th=0.1, max_iter=30)
     # gradient norms must go down substantially
     assert res.grad_norm[-1] < 0.05 * res.grad_norm[0]
+
+
+def test_mmmg_huber_dispatch_matches_graph():
+    """loop='dispatch' (the flagship-scale mode) runs the same iteration as
+    the in-graph fori_loop build — identical iterates, f32 telemetry."""
+    import jax.numpy as jnp
+
+    from surfh_tpu.solvers.huber import mmmg_huber
+
+    rng = np.random.default_rng(3)
+    H = jnp.asarray(rng.standard_normal((40, 30)))
+    y = rng.standard_normal(40)
+    fwd = lambda x: H @ x
+    adj = lambda r: H.T @ r
+    priors = [(lambda x: x, lambda x: x, 0.3, 0.05)]
+    a = mmmg_huber(fwd, adj, y, priors, jnp.zeros(30), max_iter=40)
+    b = mmmg_huber(fwd, adj, y, priors, jnp.zeros(30), max_iter=40,
+                   loop="dispatch")
+    np.testing.assert_allclose(b.x, a.x, rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(b.grad_norm, a.grad_norm, rtol=1e-5)

@@ -104,9 +104,8 @@ def main():
     probed = {}
 
     def conv_stub(maps, tpl_w, otf_re, otf_im, m, precision="highest"):
-        key = id(m)
         W = tpl_w.shape[1]
-        ha, wb = probed[key]
+        ha, wb = probed["hw"]
         base = (maps[0, :1, :1] * tpl_w[0, :, None]).reshape(W, 1, 1)
         return jnp.broadcast_to(base, (W, ha, wb))
 
@@ -118,7 +117,7 @@ def main():
 
     def probing_f(maps, tpl_w, otf_re, otf_im, m, precision="highest"):
         out = o_f(maps, tpl_w, otf_re, otf_im, m, precision=precision)
-        probed[id(m)] = (out.shape[1], out.shape[2])
+        probed["hw"] = (out.shape[1], out.shape[2])
         probed["npix"] = maps.shape[1]
         return out
 

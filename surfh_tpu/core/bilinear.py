@@ -278,6 +278,16 @@ class ComposedWindowPlan:
     w:   float [C, S·A·sb] weights.
     csrc / cw / cdst: the sorted-COO exact transpose (destination ascending,
          zero-weight padding allowed), cdst into the same [ha·wb] patch.
+    linv / layers: the layered-prefix exact transpose (same taps, same
+         per-destination summation order as the COO — bit-identical).
+         Patch pixels are statically sorted by decreasing tap count; layer
+         k holds the k-th tap of every pixel that has one, so it is a
+         dense PREFIX add `acc[:T_k] += w_k · vals[src_k]` with no
+         scatter, and `linv` (int32 [ha·wb], untouched pixels → T_0, the
+         appended zero row) unpermutes with one take.  On TPU the prefix
+         adds and takes overlap with MXU stages where the monolithic
+         sorted scatter could not: fused channel normal 24.3 → 20.0 ms at
+         flagship scale (scripts/layered_fused_probe.py).
     out_shape: (S, A, sb).
     patch_shape: (ha, wb).
     """
@@ -287,6 +297,8 @@ class ComposedWindowPlan:
     csrc: np.ndarray
     cw: np.ndarray
     cdst: np.ndarray
+    linv: np.ndarray
+    layers: Tuple[Tuple[np.ndarray, np.ndarray], ...]
     out_shape: Tuple[int, int, int]
     patch_shape: Tuple[int, int]
 
@@ -360,12 +372,32 @@ def compose_window_plan(
     keep = ww != 0
     src, dst, ww = src[keep], dst[keep], ww[keep]
     order = np.argsort(dst, kind="stable")
+    csrc = src[order].astype(np.int32)
+    cw = np.ascontiguousarray(ww[order])
+    cdst = dst[order].astype(np.int32)
+    # layered-prefix transpose: pixels sorted by decreasing tap count
+    n_patch = ha * wb
+    seg = np.bincount(cdst, minlength=n_patch)
+    starts = np.concatenate([[0], np.cumsum(seg)])
+    perm = np.argsort(-seg, kind="stable")
+    n_layers = int(seg.max()) if cdst.size else 0
+    layers = []
+    for k in range(n_layers):
+        t_k = int((seg > k).sum())
+        sel = starts[:-1][perm[:t_k]] + k
+        layers.append((csrc[sel].copy(), cw[sel].copy()))
+    t0 = layers[0][0].shape[0] if layers else 0
+    linv = np.full(n_patch, t0, np.int32)
+    if layers:
+        linv[perm[:t0]] = np.arange(t0, dtype=np.int32)
     return ComposedWindowPlan(
         idx=idx.astype(np.int32),
         w=np.ascontiguousarray(w),
-        csrc=src[order].astype(np.int32),
-        cw=np.ascontiguousarray(ww[order]),
-        cdst=dst[order].astype(np.int32),
+        csrc=csrc,
+        cw=cw,
+        cdst=cdst,
+        linv=linv,
+        layers=tuple(layers),
         out_shape=(S, n_aout, sb),
         patch_shape=(ha, wb),
     )
@@ -390,3 +422,25 @@ def apply_composed_plan_t(csrc, cw, cdst, values, patch_pixels: int):
     return out.at[..., cdst].add(
         contrib, indices_are_sorted=True, unique_indices=False
     )
+
+
+def apply_composed_plan_layered_t(linv, layers, values):
+    """Layered-prefix exact transpose: values [W, n_out] → patch [W, P].
+
+    layers[k] = (src [T_k], w [T_k]) with T_0 ≥ T_1 ≥ …; each layer is a
+    row-gather of the transposed values plus a dense prefix add — no
+    scatter op anywhere, so XLA overlaps it with neighboring MXU stages
+    (the monolithic sorted-COO scatter serializes; PERF.md).  `linv`
+    unpermutes (untouched pixels point at the appended zero row T_0).
+    Bit-identical to :func:`apply_composed_plan_t`: per destination the
+    taps accumulate in the same (stable COO segment) order.
+    """
+    w_dim = values.shape[0]
+    vt = values.T  # [n_out, W]
+    t0 = layers[0][0].shape[0]
+    acc = jnp.zeros((t0, w_dim), values.dtype)
+    for src, w in layers:
+        upd = jnp.take(vt, src, axis=0) * w[:, None]
+        acc = acc.at[: src.shape[0]].add(upd)
+    accz = jnp.concatenate([acc, jnp.zeros((1, w_dim), values.dtype)], axis=0)
+    return jnp.take(accz, linv, axis=0).T

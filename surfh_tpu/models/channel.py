@@ -251,6 +251,8 @@ class Channel:
         # scatter (adj).  SURFH_COMPOSED_GRIDDING=0 restores the staged
         # pipeline.
         self._composed_stack = None
+        self._composed_t_stack = None
+        self._composed_t_layered = False
         if (
             self._box_offset is not None
             and os.environ.get("SURFH_COMPOSED_GRIDDING", "1") != "0"
@@ -278,6 +280,49 @@ class Channel:
                 np.stack([_padc(c.cw, 0) for c in cplans]),
                 np.stack([_padc(c.cdst, n_patch - 1) for c in cplans]),
             )
+            # Transpose representation: "layered" (default) spells the
+            # exact transpose as dense prefix adds + one unpermuting take
+            # (no scatter; overlaps with MXU stages — PERF.md), "coo"
+            # restores the single sorted scatter.  Bit-identical results.
+            # The layer count is the max taps per patch pixel — ≤ ~10 at
+            # production scales, but grids much smaller than the FOV clamp
+            # thousands of taps onto border pixels (e.g. band 4 on a 41²
+            # test grid: 2840); past SURFH_COMPOSED_T_LMAX the unrolled
+            # prefix graph would explode compile time, so fall back to COO.
+            n_layers = max(len(c.layers) for c in cplans)
+            lmax = int(os.environ.get("SURFH_COMPOSED_T_LMAX", "16"))
+            self._composed_t_layered = (
+                os.environ.get("SURFH_COMPOSED_T_IMPL", "layered") != "coo"
+                and n_layers <= lmax
+            )
+            if self._composed_t_layered:
+                t_ks = [
+                    max(
+                        (c.layers[k][0].shape[0] if k < len(c.layers) else 0)
+                        for c in cplans
+                    )
+                    for k in range(n_layers)
+                ]
+                # per-pointing layers zero-padded to common sizes: padded
+                # taps carry w=0 (add nothing) and untouched linv entries
+                # land on all-zero acc rows, so shapes unify exactly
+                parts = [np.stack([c.linv for c in cplans])]
+                for k in range(n_layers):
+                    srcs, ws = [], []
+                    for c in cplans:
+                        if k < len(c.layers):
+                            s, w = c.layers[k]
+                        else:
+                            s = np.zeros(0, np.int32)
+                            w = np.zeros(0, npdtype)
+                        pad = t_ks[k] - s.shape[0]
+                        srcs.append(np.pad(s, (0, pad)))
+                        ws.append(np.pad(w.astype(npdtype), (0, pad)))
+                    parts.append(np.stack(srcs))
+                    parts.append(np.stack(ws))
+                self._composed_t_stack = tuple(parts)
+            else:
+                self._composed_t_stack = self._composed_stack[2:]
 
         self._forward_jit = jax.jit(self._forward_fn)
         self._adjoint_jit = None
@@ -497,9 +542,8 @@ class Channel:
             # composed mode: the staged gather/transpose tables go unused —
             # omitting them saves their HBM residency and tunnel upload
             # (they are replicated per device in the sharded modes)
-            cg_idx, cg_w, ct_src, ct_w, ct_dst = self._composed_stack
-            t["cgrid"] = (cg_idx, cg_w)
-            t["cgrid_t"] = (ct_src, ct_w, ct_dst)
+            t["cgrid"] = self._composed_stack[:2]
+            t["cgrid_t"] = self._composed_t_stack
         else:
             t["plan_idx"] = self._plans_fwd_stack[0]
             t["plan_w"] = self._plans_fwd_stack[1]
@@ -795,13 +839,21 @@ class Channel:
                 win_t = jnp.transpose(win_t, (0, 2, 1, 3))
             win_t = win_t * slit_w[:, jnp.newaxis, :, :]
             if cgrid_t is not None:
-                # composed transpose: window outputs → bbox patch in ONE
-                # sorted scatter (exact transpose of the composed gather)
+                # composed transpose: window outputs → bbox patch, either
+                # layered prefix adds (default) or one sorted scatter —
+                # both the exact transpose of the composed gather
                 a0, b0, ha, wb = self._tbbox
                 vals = jnp.transpose(win_t, (1, 0, 2, 3)).reshape(W, -1)
-                patch = bilinear.apply_composed_plan_t(
-                    *cgrid_t, vals, ha * wb
-                ).reshape(W, ha, wb)
+                if self._composed_t_layered:
+                    linv, *rest = cgrid_t
+                    layers = list(zip(rest[0::2], rest[1::2]))
+                    patch = bilinear.apply_composed_plan_layered_t(
+                        linv, layers, vals
+                    ).reshape(W, ha, wb)
+                else:
+                    patch = bilinear.apply_composed_plan_t(
+                        *cgrid_t, vals, ha * wb
+                    ).reshape(W, ha, wb)
                 if bbox_out:
                     return patch
                 na_g, nb_g = self.imshape
@@ -857,7 +909,7 @@ class Channel:
             stack = comp_t if comp_t is not None else tables["tplan"]
         else:
             comp_t = (
-                self._composed_stack[2:] if self._composed_stack is not None
+                self._composed_t_stack if self._composed_stack is not None
                 else None
             )
             stack = comp_t if comp_t is not None else self._tplans_fwd_stack

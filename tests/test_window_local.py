@@ -147,3 +147,54 @@ def test_composed_gridding_matches_staged():
     lhs = float(np.vdot(yc, yr))
     rhs = float(np.vdot(x, ac))
     assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+def test_composed_transpose_layered_matches_coo():
+    """The layered-prefix transpose (the default: dense prefix adds + one
+    unpermuting take, no scatter) is BIT-identical to the sorted-COO
+    scatter form (`SURFH_COMPOSED_T_IMPL=coo`): same taps, same
+    per-destination summation order.  Covers the tabled path too."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_model
+
+    kw = dict(im_size=41, n_lambda=24, n_tpl=3, n_channels=2, n_pointings=2,
+              n_slit=4, dtype=jnp.float64)
+    old = os.environ.get("SURFH_COMPOSED_T_IMPL")
+    try:
+        os.environ["SURFH_COMPOSED_T_IMPL"] = "coo"
+        coo, setup = make_model(**kw)
+        os.environ["SURFH_COMPOSED_T_IMPL"] = "layered"
+        lay, _ = make_model(**kw)
+    finally:
+        if old is None:
+            os.environ.pop("SURFH_COMPOSED_T_IMPL", None)
+        else:
+            os.environ["SURFH_COMPOSED_T_IMPL"] = old
+    assert not coo.channels[0]._composed_t_layered
+    assert lay.channels[0]._composed_t_layered
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal(coo.oshape)
+    a_coo = np.asarray(coo.adjoint_fn(y))
+    a_lay = np.asarray(lay.adjoint_fn(y))
+    np.testing.assert_allclose(a_lay, a_coo, rtol=0,
+                               atol=1e-15 * np.abs(a_coo).max())
+    # tabled (window-local flagship) path: one channel, tables as args
+    chan = lay.channels[0]
+    tb = {k: jax.device_put(v) for k, v in chan.host_tables().items()}
+    yw = rng.standard_normal(chan.oshape)
+    got = np.asarray(jax.jit(
+        lambda yw, tb: chan._adjoint_windowed_fast_impl(
+            yw, chan.n_wslice, tb["wpsf"], tables=tb)
+    )(yw, tb))
+    chan_coo = coo.channels[0]
+    tb2 = {k: jax.device_put(v) for k, v in chan_coo.host_tables().items()}
+    want = np.asarray(jax.jit(
+        lambda yw, tb: chan_coo._adjoint_windowed_fast_impl(
+            yw, chan_coo.n_wslice, tb["wpsf"], tables=tb)
+    )(yw, tb2))
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=1e-15 * np.abs(want).max())

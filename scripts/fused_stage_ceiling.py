@@ -126,12 +126,41 @@ def main():
         jax.eval_shape(lambda x, tb: nrm(x, tb), maps, tables)
     finally:
         fft.lmm_conv_otf_matmul = o_f
+    # rank-mode conv pair (fft.lmm_conv_rank — the flagship default): probe
+    # the rank-basis output shape, then stub both directions
+    r_f, r_t = fft.lmm_conv_rank, fft.lmm_conv_rank_t
+    rprobed = {}
+
+    def rprobe_f(maps, otf_re, otf_im, m, precision="highest"):
+        out = r_f(maps, otf_re, otf_im, m, precision=precision)
+        rprobed["shape"] = out.shape
+        rprobed["npix"] = maps.shape[1:]
+        return out
+
+    def rank_stub(maps, otf_re, otf_im, m, precision="highest"):
+        base = maps[:1, :1, :1] * otf_re[0, 0, 0]
+        return jnp.broadcast_to(base.reshape(1, 1, 1), rprobed["shape"])
+
+    def rank_t_stub(g, otf_re, otf_im, m, n_maps, precision="highest"):
+        base = jnp.sum(g[:1, :1, :]) * otf_re[0, 0, 0]
+        return jnp.broadcast_to(
+            base.reshape(1, 1, 1), (n_maps,) + tuple(rprobed["npix"])
+        )
+
+    fft.lmm_conv_rank = rprobe_f
+    try:
+        jax.eval_shape(lambda x, tb: nrm(x, tb), maps, tables)
+    finally:
+        fft.lmm_conv_rank = r_f
     fft.lmm_conv_otf_matmul = conv_stub
     fft.lmm_conv_otf_matmul_t = conv_t_stub
+    if rprobed:
+        fft.lmm_conv_rank, fft.lmm_conv_rank_t = rank_stub, rank_t_stub
     try:
         ms = chained(nrm)
     finally:
         fft.lmm_conv_otf_matmul, fft.lmm_conv_otf_matmul_t = o_f, o_t
+        fft.lmm_conv_rank, fft.lmm_conv_rank_t = r_f, r_t
     print(f"  -conv pair (fwd+adj)      {ms:8.2f} ms   (share {stock - ms:6.2f})",
           flush=True)
 

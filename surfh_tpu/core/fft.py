@@ -266,6 +266,103 @@ def otf_from_stamps(psf, st: dict, precision: str = "highest"):
     return otf_re, otf_im
 
 
+def lowrank_stamp_factor(psf, rtol: float, rmax: Optional[int] = None):
+    """λ-rank factorization of a PSF stamp stack: psf ≈ U · V.
+
+    The per-λ PSF varies smoothly with wavelength (σ ∝ λ for the gaussian
+    model; slowly-evolving diffraction structure for webbpsf stacks), so the
+    [W, sx·sy] stamp matrix is numerically low-rank: the flagship 3879-λ
+    gaussian stack is rank 13 at σ_tail/σ₁ ≤ 1e-6, and per-channel λ-windows
+    are lower still.  Host-side SVD; singular values are folded into `U` so
+    the rows of `V` are orthonormal unit-scale stamps.
+
+    Returns ``(U [W, R], V [R, sx, sy], tail)`` with
+    ``tail = σ_{R+1}/σ₁`` — the relative operator-norm of the dropped stamp
+    components, which bounds the rank-truncated convolution's relative
+    deviation from the full one.  `rtol` drops components with
+    ``σ_i/σ₁ ≤ rtol`` (R ≥ 1 always); `rmax` caps R.
+    """
+    psf = np.asarray(psf)
+    W = psf.shape[0]
+    A = psf.reshape(W, -1).astype(np.float64)
+    Um, s, Vt = np.linalg.svd(A, full_matrices=False)
+    if s[0] <= 0.0:
+        R = 1
+    else:
+        R = max(1, int(np.sum(s / s[0] > rtol)))
+    if rmax is not None:
+        R = min(R, int(rmax))
+    U = (Um[:, :R] * s[:R]).astype(psf.dtype)
+    V = Vt[:R].reshape((R,) + psf.shape[1:]).astype(psf.dtype)
+    tail = float(s[R] / s[0]) if R < len(s) and s[0] > 0.0 else 0.0
+    return U, V, tail
+
+
+def lmm_conv_rank(maps, otf_re, otf_im, m: dict, precision: str = "highest"):
+    """Rank-basis fused T·C: DFT the M template maps, multiply by the R
+    rank-basis OTFs, inverse onto the FOV bbox — WITHOUT mixing back to the
+    W λ-planes.
+
+    With the PSF stamps factored as ``psf[w] = Σ_r U[w,r]·V[r]``
+    (:func:`lowrank_stamp_factor`), every λ-plane of the blurred window is a
+    static linear mix of the Q = M·R basis planes
+    ``Y[m,r] = IDFT(DFT(maps[m]) ⊙ OTF(V[r]))``:
+    ``blurred[w] = Σ_{m,r} tpl[m,w]·U[w,r]·Y[m,r]``.  Because everything
+    downstream of the conv (composed gather, slit weights) is λ-batched and
+    the spectral blur contracts λ linearly, the mix is *folded into the
+    wblur table* (``wpsf_q[k,q,b] = Σ_w wpsf[k,w,b]·tpl[m,w]·U[w,r]``) and
+    the whole windowed pipeline runs on Q ≈ 16–64 planes instead of
+    W ≈ 250–1400 — the inverse-DFT stages, the gather/scatter, and the wblur
+    GEMM all shrink by W/Q.  The forward/transpose pair stays exact (the
+    truncation modifies the *operator*, consistently in both directions —
+    same contract as the frequency truncation, and unlike precision tricks
+    it is CG-safe).
+
+    maps [M, Na, Nb] real; otf_* [R, Ka', Kb'] = OTF of the V stamps on
+    `m`'s frequency support.  Returns the rank-basis bbox patch
+    [M·R, ha, wb], m-major (matching the ``reshape(M·R)`` of a [M, R] stack).
+    """
+    es = lambda s, p, q: jnp.einsum(s, p, q, precision=precision)
+    yb_re = es("mab,kb->mak", maps, m["fb_re"])
+    yb_im = es("mab,kb->mak", maps, m["fb_im"])
+    k1 = es("mak,ca->mck", yb_re + yb_im, m["fa_re"])
+    zm_re = k1 - es("mak,ca->mck", yb_im, m["fa_s"])
+    zm_im = k1 + es("mak,ca->mck", yb_re, m["fa_d"])
+    t_re = zm_re[:, None] * otf_re[None] - zm_im[:, None] * otf_im[None]
+    t_im = zm_re[:, None] * otf_im[None] + zm_im[:, None] * otf_re[None]
+    q_, ck = t_re.shape[0] * t_re.shape[1], t_re.shape[2:]
+    t_re = t_re.reshape((q_,) + ck)
+    t_im = t_im.reshape((q_,) + ck)
+    k1 = es("qck,ac->qak", t_re + t_im, m["ifa_re"])
+    ua_re = k1 - es("qck,ac->qak", t_im, m["ifa_s"])
+    ua_im = k1 + es("qck,ac->qak", t_re, m["ifa_d"])
+    return es("qak,bk->qab", ua_re, m["icb_re"]) - es("qak,bk->qab", ua_im, m["icb_im"])
+
+
+def lmm_conv_rank_t(g, otf_re, otf_im, m: dict, n_maps: int, precision: str = "highest"):
+    """Exact transpose of :func:`lmm_conv_rank` w.r.t. `maps`.
+
+    g [M·R, ha, wb] (the rank-basis patch cotangent, straight from the
+    gridding transpose run in the rank basis) → [M, Na, Nb].  Mechanical
+    einsum-by-einsum transposition; validated against `jax.linear_transpose`
+    (tests/test_kernels.py)."""
+    es = lambda s, p, q: jnp.einsum(s, p, q, precision=precision)
+    ua_re = es("qab,bk->qak", g, m["icb_re"])
+    ua_im = -es("qab,bk->qak", g, m["icb_im"])
+    k1 = es("qak,ac->qck", ua_re + ua_im, m["ifa_re"])
+    t_re = k1 + es("qak,ac->qck", ua_im, m["ifa_d"])
+    t_im = k1 - es("qak,ac->qck", ua_re, m["ifa_s"])
+    r_ = otf_re.shape[0]
+    t_re = t_re.reshape((n_maps, r_) + t_re.shape[1:])
+    t_im = t_im.reshape((n_maps, r_) + t_im.shape[1:])
+    zm_re = es("mrck,rck->mck", t_re, otf_re) + es("mrck,rck->mck", t_im, otf_im)
+    zm_im = es("mrck,rck->mck", t_im, otf_re) - es("mrck,rck->mck", t_re, otf_im)
+    k1 = es("mck,ca->mak", zm_re + zm_im, m["fa_re"])
+    yb_re = k1 + es("mck,ca->mak", zm_im, m["fa_d"])
+    yb_im = k1 - es("mck,ca->mak", zm_re, m["fa_s"])
+    return es("mak,kb->mab", yb_re, m["fb_re"]) + es("mak,kb->mab", yb_im, m["fb_im"])
+
+
 def _support_from_axis_maxima(colmax, rowmax, rtol: float):
     """Shared tail of the two support derivations: per-axis OTF magnitude
     maxima → (ka_max, kb_keep, dropped_rel).  Both the stamp-mode and the

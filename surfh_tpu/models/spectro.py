@@ -70,6 +70,7 @@ class SpectroSigRLSCT(LinOp):
         conv_freq_rtol: float = 0.0,
         psf_stack=None,
         conv_precision: str = "highest",
+        conv_rank_rtol: float = 0.0,
     ):
         # Flagship-scale mode: evaluate T·C per channel λ-window and pass all
         # large tables (sotf, templates, wpsf, gather plans) as jit ARGUMENTS
@@ -107,6 +108,21 @@ class SpectroSigRLSCT(LinOp):
         if conv_precision not in ("highest", "high", "default"):
             raise ValueError(f"unknown conv_precision {conv_precision!r}")
         self.conv_precision = conv_precision
+        # λ-rank factorization of the PSF stamps (fft.lowrank_stamp_factor):
+        # per channel, SVD the [W, sx, sy] stamp window across λ and run the
+        # whole post-conv pipeline (inverse DFT, composed gather/scatter,
+        # wblur GEMM) on the Q = M·R rank-basis planes instead of the W
+        # λ-planes, folding the static λ-mix into the wblur table
+        # (fft.lmm_conv_rank).  PSFs vary smoothly with λ, so R ≈ 4–16 per
+        # window while W ≈ 250–1400.  Components with σ_i/σ₁ ≤ conv_rank_rtol
+        # are dropped; the deviation from the full conv is bounded by the
+        # recorded per-channel tail (`conv_supports[c]["rank_tail"]`).  The
+        # forward/transpose pair stays exact at any setting (the truncation
+        # modifies the operator consistently in both directions — CG-safe).
+        # 0.0 = off.  Takes effect only in the stamp-mode LMM matmul path;
+        # channels where M·R ≥ W (no win) or where the composed gather is
+        # unavailable keep the dense W-plane path.
+        self.conv_rank_rtol = float(conv_rank_rtol)
         self.conv_supports = None
         # PSF-stamp mode: ship the compact per-λ PSF stamps [Nλ, sx, sy] and
         # evaluate the OTF in-graph (fft.otf_from_stamps) instead of hosting
@@ -301,10 +317,29 @@ class SpectroSigRLSCT(LinOp):
                 # matrices; the OTF window is evaluated in-graph
                 # (fft.otf_from_stamps) — ~100× less argument HBM/upload
                 # than the materialized OTF window.
-                t["psf"] = psf_w
+                rank_on = (
+                    self.conv_rank_rtol > 0.0
+                    and self.lmm
+                    and "cgrid" in t  # rank planes ride the composed gather
+                )
+                if rank_on:
+                    cu, v_psf, tail = fft.lowrank_stamp_factor(
+                        psf_w, self.conv_rank_rtol
+                    )
+                    n_tpl = self.templates.shape[0]
+                    # no win unless the Q = M·R basis is decisively smaller
+                    # than the W λ-planes it replaces
+                    rank_on = n_tpl * cu.shape[1] < psf_w.shape[0] // 2
+                if rank_on:
+                    t["psf"] = v_psf
+                    t["cu"] = cu
+                    supports[-1]["rank"] = int(cu.shape[1])
+                    supports[-1]["rank_tail"] = tail
+                else:
+                    t["psf"] = psf_w
                 t["stamp"] = fft.psf_stamp_tables(
                     self.imshape,
-                    psf_w.shape[-2:],
+                    t["psf"].shape[-2:],
                     npdtype,
                     ka_max=ka_max,
                     kb_keep=kb_keep,
@@ -338,7 +373,7 @@ class SpectroSigRLSCT(LinOp):
         chans = []
         changed = False
         jit_kwargs = {"out_shardings": out_sharding} if out_sharding else {}
-        for t in tables["chan"]:
+        for c, t in enumerate(tables["chan"]):
             if "psf" in t:
                 f = jax.jit(
                     lambda p, st: jnp.stack(fft.otf_from_stamps(p, st)),
@@ -347,6 +382,30 @@ class SpectroSigRLSCT(LinOp):
                 t = dict(t)
                 t["sotf_ri"] = f(t["psf"], t["stamp"])
                 del t["psf"], t["stamp"]
+                changed = True
+            if "cu" in t and "wpsf_q" not in t:
+                # rank mode: fold the static λ-mix (templates × rank
+                # coefficients) into the wblur table ONCE — materializing
+                # (rather than folding in-graph per program) pins the table
+                # bit-exactly across the forward/adjoint compiles, keeping
+                # the exact-transpose contract at machine precision (same
+                # rationale as the OTF materialization above).
+                wsl = self.channels[c].wslice
+                t = dict(t)
+
+                def fold(wpsf, tpl, cu, lo=wsl.start, hi=wsl.stop):
+                    tpl_w = jax.lax.slice_in_dim(tpl, lo, hi, axis=1)
+                    cmat = jnp.einsum(
+                        "mw,wr->wmr", tpl_w, cu, precision="highest"
+                    )
+                    cmat = cmat.reshape(cmat.shape[0], -1)
+                    return jnp.einsum(
+                        "kwb,wq->kqb", wpsf, cmat, precision="highest"
+                    )
+
+                t["wpsf_q"] = jax.jit(fold, **jit_kwargs)(
+                    t["wpsf"], tables["tpl"], t["cu"]
+                )
                 changed = True
             chans.append(t)
         if not changed:
@@ -367,6 +426,18 @@ class SpectroSigRLSCT(LinOp):
         """Extra trailing args solvers must thread through to the pure fns."""
         return (self.device_tables(),) if self.window_local else ()
 
+    @staticmethod
+    def _wpsf_q(t, tpl_w):
+        """Rank-folded wblur table [K, Q, B] (see `conv_rank_rtol`): the
+        materialized copy when present (`materialize_otf` pins it bit-exactly
+        across the forward/adjoint programs), else folded in-graph — the fold
+        is cheap (K·W·B·Q FLOPs) and identical in both directions."""
+        if "wpsf_q" in t:
+            return t["wpsf_q"]
+        cmat = jnp.einsum("mw,wr->wmr", tpl_w, t["cu"], precision="highest")
+        cmat = cmat.reshape(cmat.shape[0], -1)
+        return jnp.einsum("kwb,wq->kqb", t["wpsf"], cmat, precision="highest")
+
     def _channel_fwd_tabled(self, x, c: int, tables):
         """One channel's T·C·(S·L·R·Sig) over its λ-window, tables as args."""
         chan = self.channels[c]
@@ -379,6 +450,16 @@ class SpectroSigRLSCT(LinOp):
             o_re, o_im = sotf_ri[0], sotf_ri[1]
         if self.lmm:
             tpl_w = jax.lax.slice_in_dim(tables["tpl"], wsl.start, wsl.stop, axis=1)
+            if self.conv_impl == "matmul" and t.get("cu") is not None:
+                # rank-basis pipeline: conv onto the Q = M·R basis planes,
+                # gather/slit-window them, contract with the λ-mix-folded
+                # wblur table — nothing downstream scales with W
+                yq = fft.lmm_conv_rank(
+                    x, o_re, o_im, t["dftm"], precision=self.conv_precision
+                )
+                return chan._forward_windowed_impl(
+                    yq, self._wpsf_q(t, tpl_w), "dense", tables=t, bbox_in=True
+                )
             if self.conv_impl == "matmul":
                 # fused T·C: forward-DFT the M template maps, mix + OTF in
                 # Fourier, inverse per λ-plane onto the FOV bbox only (never
@@ -415,6 +496,22 @@ class SpectroSigRLSCT(LinOp):
         else:
             sotf_ri = t["sotf_ri"]
             o_re, o_im = sotf_ri[0], sotf_ri[1]
+        if self.conv_impl == "matmul" and self.lmm and t.get("cu") is not None:
+            # rank-basis twin: wblur_t with the folded table, composed
+            # scatter of Q planes, then the exact transpose of the
+            # rank-basis conv back to the M template maps
+            tpl_w = jax.lax.slice_in_dim(
+                tables["tpl"], wsl.start, wsl.stop, axis=1
+            )
+            n_tpl = int(tables["tpl"].shape[0])
+            q = n_tpl * int(t["cu"].shape[1])
+            patch_q = chan._adjoint_windowed_fast_impl(
+                yc, q, self._wpsf_q(t, tpl_w), tables=t, bbox_out=True
+            )
+            return fft.lmm_conv_rank_t(
+                patch_q, o_re, o_im, t["dftm"], n_tpl,
+                precision=self.conv_precision,
+            )
         cube_w = chan._adjoint_windowed_fast_impl(
             yc, chan.n_wslice, t["wpsf"], tables=t,
             bbox_out=self.conv_impl == "matmul",

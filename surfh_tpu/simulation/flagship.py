@@ -216,6 +216,7 @@ def make_flagship_model(
     conv_impl: str = "auto",
     conv_freq_rtol: Optional[float] = None,
     conv_precision: Optional[str] = None,
+    conv_rank_rtol: Optional[float] = None,
     **kwargs,
 ):
     """Build the flagship `SpectroSigRLSCT` in window-local tabled mode.
@@ -245,6 +246,13 @@ def make_flagship_model(
         conv_freq_rtol = float(os.environ.get("SURFH_CONV_FREQ_RTOL", "1e-6"))
     if conv_precision is None:
         conv_precision = os.environ.get("SURFH_CONV_PRECISION", "highest")
+    if conv_rank_rtol is None:
+        # λ-rank factorized conv (fft.lmm_conv_rank): the gaussian stamps'
+        # singular spectrum drops below 1e-7 at R ≈ 16 over the FULL λ axis
+        # (lower per channel window), so the default keeps a float32-class
+        # deviation while the post-conv pipeline runs on M·R instead of W
+        # planes.  SURFH_CONV_RANK_RTOL=0 disables.
+        conv_rank_rtol = float(os.environ.get("SURFH_CONV_RANK_RTOL", "1e-7"))
     # PSF-stamp mode (OTF evaluated in-graph from the compact stamps) is the
     # default whenever the matmul conv path will run; a materialized sotf is
     # only required for the FFT conv.  SURFH_PSF_STAMPS=0 forces the
@@ -279,5 +287,6 @@ def make_flagship_model(
         conv_freq_rtol=conv_freq_rtol,
         psf_stack=setup["psf_stack"] if use_stamps else None,
         conv_precision=conv_precision,
+        conv_rank_rtol=conv_rank_rtol,
     )
     return model, setup

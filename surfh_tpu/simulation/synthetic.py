@@ -148,9 +148,15 @@ def make_model(
     window_local: bool = False,
     conv_impl: str = "auto",
     conv_freq_rtol: float = 0.0,
+    conv_rank_rtol: float = 0.0,
+    psf_stamps: bool = False,
     **kwargs,
 ):
-    """Build the flagship `SpectroSigRLSCT` from a synthetic setup."""
+    """Build the flagship `SpectroSigRLSCT` from a synthetic setup.
+
+    `psf_stamps=True` ships the setup's PSF stamp stack (`spsf`) instead of
+    the materialized `sotf` — the flagship stamp-mode configuration, required
+    for the rank-factorized conv (`conv_rank_rtol`)."""
     import jax.numpy as jnp
 
     from ..models.spectro import SpectroSigRLSCT
@@ -160,7 +166,7 @@ def make_model(
     if dtype is None:
         dtype = jnp.float32
     model = SpectroSigRLSCT(
-        setup["sotf"],
+        None if psf_stamps else setup["sotf"],
         setup["templates"],
         setup["alpha_axis"],
         setup["beta_axis"],
@@ -175,5 +181,7 @@ def make_model(
         window_local=window_local,
         conv_impl=conv_impl,
         conv_freq_rtol=conv_freq_rtol,
+        conv_rank_rtol=conv_rank_rtol,
+        psf_stack=setup["spsf"] if psf_stamps else None,
     )
     return model, setup

@@ -389,3 +389,67 @@ def test_spectro_psf_stack_mode():
 
     with pytest.raises(RuntimeError):
         B.adjoint_fn_const(np.asarray(yr))
+
+
+def test_lmm_conv_rank_pair_and_equivalence():
+    """The rank-basis conv (fft.lmm_conv_rank): (a) mixing its M·R basis
+    planes with c[w,(m,r)] = tpl[m,w]·U[w,r] reproduces lmm_conv_otf_matmul
+    with the recomposed OTF Σ_r U[:,r]·otf_r at machine precision in f64;
+    (b) lmm_conv_rank_t equals jax.linear_transpose; (c) the pair dot-tests
+    exactly.  Rank truncation therefore modifies only the *operator* (the
+    effective PSF), never the adjoint consistency — the CG-safety contract."""
+    import jax
+
+    rng = np.random.default_rng(42)
+    M, W, R = 3, 40, 5
+    na, nb = 33, 29
+    bbox = (4, 3, 17, 15)
+    m = fft.dft_matmul_tables((na, nb), np.float64, ka_max=9, kb_keep=8,
+                              bbox=bbox)
+    md = {k: jnp.asarray(v) for k, v in m.items()}
+    ka = len(fft.freq_sel_alpha(na, 9))
+    maps = jnp.asarray(rng.standard_normal((M, na, nb)))
+    tpl_w = rng.standard_normal((M, W))
+    u = rng.standard_normal((W, R))
+    o_re = jnp.asarray(rng.standard_normal((R, ka, 8)))
+    o_im = jnp.asarray(rng.standard_normal((R, ka, 8)))
+
+    dense = fft.lmm_conv_otf_matmul(
+        maps, jnp.asarray(tpl_w),
+        jnp.asarray(np.einsum("wr,rck->wck", u, o_re)),
+        jnp.asarray(np.einsum("wr,rck->wck", u, o_im)), md)
+    y_rank = fft.lmm_conv_rank(maps, o_re, o_im, md)
+    c = np.einsum("mw,wr->wmr", tpl_w, u).reshape(W, M * R)
+    mixed = jnp.einsum("qab,wq->wab", y_rank, jnp.asarray(c))
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(dense),
+                               rtol=0, atol=1e-12 * np.abs(dense).max())
+
+    g = jnp.asarray(rng.standard_normal(y_rank.shape))
+    gt = fft.lmm_conv_rank_t(g, o_re, o_im, md, M)
+    lt = jax.linear_transpose(
+        lambda x: fft.lmm_conv_rank(x, o_re, o_im, md), maps)(g)[0]
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(lt),
+                               rtol=0, atol=1e-12 * np.abs(lt).max())
+    lhs = float(jnp.vdot(y_rank, g))
+    rhs = float(jnp.vdot(maps, gt))
+    assert abs(lhs - rhs) <= 1e-13 * abs(lhs)
+
+
+def test_lowrank_stamp_factor_bound():
+    """SVD factorization contract: psf ≈ U·V with the recomposition error
+    bounded by the returned tail (σ_{R+1}/σ₁, operator norm ≤ Frobenius
+    scale), full rank at rtol=0, and R=1 floor."""
+    from surfh_tpu.utils.psf import gaussian_psf
+
+    wl = np.linspace(7.5, 8.8, 200)
+    psf = gaussian_psf(wl, 0.04).astype(np.float64)
+    u, v, tail = fft.lowrank_stamp_factor(psf, 1e-6)
+    assert u.shape[0] == 200 and v.shape[0] == u.shape[1] < 30
+    rec = np.einsum("wr,rxy->wxy", u, v)
+    s1 = np.linalg.svd(psf.reshape(200, -1), compute_uv=False)[0]
+    err = np.linalg.svd((psf - rec).reshape(200, -1), compute_uv=False)[0]
+    assert err <= max(tail, 1e-15) * s1 * 1.001
+    u0, v0, t0 = fft.lowrank_stamp_factor(psf, 0.0)
+    assert t0 == 0.0 or t0 < 1e-14
+    u1, v1, _ = fft.lowrank_stamp_factor(psf, 1.0)
+    assert v1.shape[0] == 1

@@ -198,3 +198,67 @@ def test_composed_transpose_layered_matches_coo():
     )(yw, tb2))
     np.testing.assert_allclose(got, want, rtol=0,
                                atol=1e-15 * np.abs(want).max())
+
+
+def test_conv_rank_mode_matches_dense():
+    """λ-rank factorized conv (conv_rank_rtol, fft.lmm_conv_rank): the
+    rank-basis pipeline (conv → composed gather → folded wblur, all on
+    Q = M·R planes) deviates from the dense W-plane pipeline by at most the
+    recorded SVD tail, its forward/adjoint stay an exact transpose pair,
+    and the gate records per-channel ranks in conv_supports."""
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_setup, make_model
+
+    setup = make_setup(im_size=41, n_lambda=120, n_tpl=2, n_channels=2,
+                       n_pointings=2, n_slit=3)
+    kw = dict(setup=setup, dtype=jnp.float64, window_local=True,
+              conv_impl="matmul", psf_stamps=True)
+    base, _ = make_model(conv_rank_rtol=0.0, **kw)
+    rank, _ = make_model(conv_rank_rtol=1e-9, **kw)
+    base.host_tables(), rank.host_tables()
+    assert all("rank" not in s for s in base.conv_supports)
+    ranks = [s.get("rank") for s in rank.conv_supports]
+    tails = [s.get("rank_tail", 0.0) for s in rank.conv_supports]
+    assert all(r is not None and r < 120 // 4 for r in ranks)
+
+    x = np.asarray(setup["maps"], np.float64)
+    yb, yr = np.asarray(base.forward(x)), np.asarray(rank.forward(x))
+    bound = max(max(tails) * 50, 1e-13)
+    assert np.abs(yr - yb).max() <= bound * np.abs(yb).max()
+
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal(base.oshape)
+    ab, ar = np.asarray(base.adjoint(y)), np.asarray(rank.adjoint(y))
+    assert np.abs(ar - ab).max() <= bound * np.abs(ab).max()
+
+    # pair exactness: the truncation modifies the operator, not the adjoint
+    lhs = float(np.vdot(yr, y))
+    rhs = float(np.vdot(x, ar))
+    assert abs(lhs - rhs) <= 1e-12 * abs(lhs)
+
+    # fused normal matches fwd∘adj composition in rank mode
+    import jax
+
+    tables = rank.device_tables()
+    hthx = np.asarray(jax.jit(rank._normal_fn_tabled)(jnp.asarray(x), tables))
+    ref = np.asarray(rank.adjoint(rank.forward(x)))
+    np.testing.assert_allclose(hthx, ref, rtol=0,
+                               atol=1e-12 * np.abs(ref).max())
+
+
+def test_conv_rank_gate_declines_tiny_windows():
+    """Channels where M·R is not decisively below W keep the dense path
+    (no "cu" table, no rank in supports) — the no-win gate."""
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_model
+
+    # 24-λ windows with 4 templates: M·R can't get under W/2
+    model, _ = make_model(im_size=41, n_lambda=24, n_tpl=4, n_channels=2,
+                          n_pointings=2, n_slit=3, dtype=jnp.float64,
+                          window_local=True, conv_impl="matmul",
+                          psf_stamps=True, conv_rank_rtol=1e-9)
+    tables = model.host_tables()
+    assert all("cu" not in t for t in tables["chan"])
+    assert all("rank" not in s for s in model.conv_supports)

@@ -56,8 +56,8 @@ def setup_channel_model(npix, targ_ra, targ_dec, ifu, wavelength_cube, step_arcs
     )
 
 
-def correct_file(path, chan_name, npix, wavelength_cube, mode):
-    """One stage-2 file, one channel: label slits, Shepard-correct, reorder."""
+def _jwst_wcs_loader(path):
+    """Default stage-2 loader: (data, detector2world) via jwst.datamodels."""
     try:
         from jwst import datamodels
     except ImportError as exc:  # pragma: no cover - jwst not in the image
@@ -65,6 +65,17 @@ def correct_file(path, chan_name, npix, wavelength_cube, mode):
             "the jwst package is required to read stage-2 WCS transforms"
         ) from exc
 
+    jwst_model = datamodels.open(path)
+    return jwst_model.data, jwst_model.meta.wcs.get_transform("detector", "world")
+
+
+def correct_file(path, chan_name, npix, wavelength_cube, mode, wcs_loader=None):
+    """One stage-2 file, one channel: label slits, Shepard-correct, reorder.
+
+    `wcs_loader(path) -> (data, detector2world)` makes the WCS source
+    injectable (tests use a synthetic transform; production uses the jwst
+    package's stage-2 datamodel — reference correction_mrs_data.py:122-131).
+    """
     from surfh_tpu.instrument import realmiri
     from surfh_tpu.preprocessing import (
         generate_label_image,
@@ -75,10 +86,8 @@ def correct_file(path, chan_name, npix, wavelength_cube, mode):
     ifu, targ_ra, targ_dec = realmiri.get_IFU(path, chan_name=chan_name)
     model_channel = setup_channel_model(npix, targ_ra, targ_dec, ifu, wavelength_cube)
 
-    jwst_model = datamodels.open(path)
-    data = jwst_model.data
+    data, detector2world = (wcs_loader or _jwst_wcs_loader)(path)
     xx, yy = np.meshgrid(np.arange(data.shape[1]), np.arange(data.shape[0]))
-    detector2world = jwst_model.meta.wcs.get_transform("detector", "world")
     coords = detector2world(xx, yy)
     binary = np.zeros_like(data)
     binary[~np.isnan(coords[0])] = 1

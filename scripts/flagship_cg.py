@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--bands", type=str, default=None)
     ap.add_argument("--pointings", type=int, default=4)
     ap.add_argument("--mu", type=float, default=5e3)
+    ap.add_argument("--method", choices=("lcg", "mmmg"), default="lcg")
     ap.add_argument("--chain", type=int, default=1,
                     help="CG iterations unrolled per dispatched program "
                          "(amortizes the ~24 ms tunnel RTT)")
@@ -83,7 +84,7 @@ def main():
 
     # warm-up solve: compiles the CG step program
     t0 = time.time()
-    crit.run_method("lcg", maximum_iterations=2 * args.chain,
+    crit.run_method(args.method, maximum_iterations=2 * args.chain,
                     solver_loop="dispatch", solver_chain=args.chain)
     report["warmup_s"] = round(time.time() - t0, 1)
     print(f"[{time.strftime('%H:%M:%S')}] b {report['bTy_s']}s, "
@@ -91,11 +92,12 @@ def main():
 
     t0 = time.time()
     res = crit.run_method(
-        "lcg", maximum_iterations=args.niter, solver_loop="dispatch",
+        args.method, maximum_iterations=args.niter, solver_loop="dispatch",
         solver_chain=args.chain,
     )
     dt = time.time() - t0
     report.update(
+        method=args.method,
         niter=int(res.n_iter),
         solve_s=round(dt, 2),
         iters_per_s=round(res.n_iter / dt, 2),

@@ -102,7 +102,14 @@ def mrs_slices_distortion_correction(
 
 def median_filter_slices(slices: np.ndarray, size: int = 11) -> np.ndarray:
     """Median filter along the λ axis of corrected slices (the reference's
-    spectral-line filter, scripts/filter_corrected_mrs_data.py:34)."""
+    spectral-line filter, scripts/filter_corrected_mrs_data.py:34).
+
+    Accepts either the flat 2-D detector layout (n_λ, n_slit·n_α) the
+    reference script consumes (λ = axis 0) or the 3-D stacked layout
+    (n_slit, n_λ, n_α) produced by `mrs_slices_distortion_correction`
+    (λ = axis 1)."""
     from scipy import ndimage
 
-    return ndimage.median_filter(np.asarray(slices).copy(), size=size, axes=[0])
+    arr = np.asarray(slices).copy()
+    lam_axis = 1 if arr.ndim == 3 else 0
+    return ndimage.median_filter(arr, size=size, axes=[lam_axis])

@@ -140,6 +140,41 @@ def test_sharded_window_local_matches_unsharded():
         a_sh, a_un, rtol=0, atol=1e-5 * np.abs(a_un).max())
 
 
+def test_sharded_rank_mode_matches_unsharded():
+    """λ-rank factorized conv (conv_rank_rtol — the flagship default) through
+    the channel-expert sharding: the rank-basis tables (cu/wpsf_q) ride the
+    shard_map as replicated arguments and the sharded forward/adjoint match
+    the single-device rank-mode model."""
+    import jax.numpy as jnp
+
+    from surfh_tpu.parallel.fusion import ShardedSpectro, make_mesh
+    from surfh_tpu.simulation.synthetic import make_model
+
+    model, setup = make_model(
+        im_size=31, n_lambda=120, n_tpl=2, n_channels=4, n_pointings=2,
+        n_slit=3, window_local=True, conv_impl="matmul",
+        conv_freq_rtol=1e-6, conv_rank_rtol=1e-7, psf_stamps=True,
+    )
+    model.host_tables()  # build lazily so conv_supports is populated
+    assert any("rank" in s for s in model.conv_supports), (
+        "rank conv did not engage in the fixture"
+    )
+    sh = ShardedSpectro(model, make_mesh(8))
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random(model.ishape), jnp.float32)
+    y_sh = sh.forward_flat(x)
+    y_un = np.asarray(model.forward(x))
+    np.testing.assert_allclose(
+        y_sh, y_un, rtol=0, atol=1e-5 * np.abs(y_un).max())
+
+    yr = rng.standard_normal(model.oshape).astype(np.float32)
+    a_sh = np.asarray(sh.adjoint(sh.pack(yr)))
+    a_un = np.asarray(model.adjoint(yr))
+    np.testing.assert_allclose(
+        a_sh, a_un, rtol=0, atol=1e-5 * np.abs(a_un).max())
+
+
 def test_sharded_stamp_mode_matches_unsharded():
     """PSF-stamp mode (sotf=None; OTF materialized ON DEVICE once, replicated
     over the mesh) through the channel-expert sharding: matches the

@@ -444,3 +444,75 @@ def apply_composed_plan_layered_t(linv, layers, values):
         acc = acc.at[: src.shape[0]].add(upd)
     accz = jnp.concatenate([acc, jnp.zeros((1, w_dim), values.dtype)], axis=0)
     return jnp.take(accz, linv, axis=0).T
+
+
+def batch_composed_plan(cidx, cw):
+    """Fold stacked per-pointing gather tables [P, C, n_out] into one
+    pointing-batched plan [C, P·n_out].
+
+    The P pointings gather from the SAME source patch, so concatenating
+    their output axes yields one bigger gather/contraction instead of P
+    small ones — fewer op instances per compiled program, identical taps
+    in identical order (bit-exact; PERF.md "pointing-batched composed
+    plan")."""
+    P, C, n_out = cidx.shape
+    return (
+        np.transpose(np.asarray(cidx), (1, 0, 2)).reshape(C, P * n_out),
+        np.transpose(np.asarray(cw), (1, 0, 2)).reshape(C, P * n_out),
+    )
+
+
+def batch_composed_layered_t(linv, parts, n_out):
+    """Fold stacked per-pointing layered-transpose tables into one
+    pointing-batched table set.
+
+    `linv` [P, n_patch] and `parts` = (src_0 [P, T_0], w_0, src_1, w_1, …)
+    as stacked by the Channel constructor; `n_out` is the per-pointing
+    window-value count S·A·sb the layer sources index into.  Returns
+    ``(P, linv_b [P, n_patch], src_0b [T_0·P], w_0b, …)`` with per-pointing
+    row offsets baked into the indices.  Layer sources index the flattened
+    [P·n_out] value matrix (pointing-major, matching the batched wblur_t
+    output layout) but are emitted TAP-major / pointing-minor so each
+    layer's update lands on a contiguous row-prefix of the interleaved
+    [T_0·P(+P), W] accumulator — a strided [:, :T_k] slab update across a
+    [P, T_0, W] accumulator makes XLA copy the whole buffer per layer,
+    which is exactly the traffic the layered form exists to avoid.
+    `linv_b` indexes that interleaved accumulator (row t·P + p; the P
+    appended zero rows sit at T_0·P + p)."""
+    linv = np.asarray(linv)
+    P = linv.shape[0]
+    srcs, ws = parts[0::2], parts[1::2]
+    t0 = int(np.asarray(srcs[0]).shape[1])
+    out = [P, np.stack([np.asarray(linv[p]) * P + p for p in range(P)])]
+    for s, w in zip(srcs, ws):
+        s = np.asarray(s)
+        w = np.asarray(w)
+        offs = (np.arange(P) * n_out)[:, None].astype(s.dtype)
+        out.append(np.ascontiguousarray((s + offs).T).reshape(-1))
+        out.append(np.ascontiguousarray(w.T).reshape(-1))
+    return tuple(out)
+
+
+def apply_composed_plan_layered_t_batched(n_pt, linv_b, layers, values):
+    """Pointing-batched twin of :func:`apply_composed_plan_layered_t`:
+    values [W, P·n_out] → per-pointing patches [P, n_patch, W].
+
+    One take + one dense prefix add per LAYER (instead of per layer per
+    pointing); the caller sums the P patches (the adjoint accumulation
+    across pointings).  The accumulator interleaves pointings tap-major
+    (rows t·P + p) so every layer update is a contiguous row-prefix add,
+    same as the unbatched form — same taps, same per-destination
+    accumulation order."""
+    w_dim = values.shape[0]
+    vt = values.T  # [P·n_out, W]
+    t0 = layers[0][0].shape[0] // n_pt
+    acc = jnp.zeros((t0 * n_pt, w_dim), values.dtype)
+    for src, w in layers:
+        upd = jnp.take(vt, src, axis=0) * w[:, None]
+        acc = acc.at[: src.shape[0]].add(upd)
+    accz = jnp.concatenate(
+        [acc, jnp.zeros((n_pt, w_dim), values.dtype)], axis=0
+    )
+    return jnp.take(accz, linv_b.reshape(-1), axis=0).reshape(
+        n_pt, linv_b.shape[1], w_dim
+    )

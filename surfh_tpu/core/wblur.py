@@ -63,5 +63,19 @@ def wblur_sum_beta_batched(arr, wpsf):
     return out.reshape(k, s, a).transpose(1, 0, 2)
 
 
+def wblur_sum_beta_pointings(arr, wpsf):
+    """Pointing-batched twin of :func:`wblur_sum_beta_batched`:
+    arr [λ, p, s, α, β] → [p, s, λ', α], still ONE plain GEMM — the pointing
+    axis rides the GEMM's N dimension (P× larger tiles, one op instead of
+    P; same contraction, though backend reduction blocking may differ at
+    the ~1e-15 level from the per-pointing spelling)."""
+    l, p, s, a, b = arr.shape
+    k = wpsf.shape[0]
+    lhs = wpsf.reshape(k, l * b)
+    rhs = arr.transpose(0, 4, 1, 2, 3).reshape(l * b, p * s * a)
+    out = jnp.matmul(lhs, rhs, preferred_element_type=arr.dtype)
+    return out.reshape(k, p, s, a).transpose(1, 2, 0, 3)
+
+
 # Reference-name alias (jax_utils.wblur_subSampling, jax_utils.py:72-80).
 wblur_subSampling = wblur_sum_beta

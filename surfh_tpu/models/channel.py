@@ -324,6 +324,37 @@ class Channel:
             else:
                 self._composed_t_stack = self._composed_stack[2:]
 
+        # --- pointing-batched composed tables -----------------------------
+        # All pointings gather from the same source patch, so the composed
+        # gather and its layered transpose can fold across the pointing axis
+        # on the host: ONE gather + ONE wblur GEMM (forward) and one take per
+        # transpose LAYER (adjoint) serve every pointing — ~P× fewer op
+        # instances per compiled program; same taps and per-destination
+        # accumulation order (only the GEMM reduction blocking can differ,
+        # ~1e-15 rel).  Measured a NET LOSS inside the fused flagship
+        # programs (adjoint 50→60+ ms at 12 bands: the folded transpose
+        # either strides the accumulator update or wrecks gather locality,
+        # while the scanned body already schedules back-to-back — PERF.md
+        # "Negative results"), so it ships OFF; SURFH_POINTING_BATCH=1
+        # opts in (it does help dispatch-granular single-channel probes,
+        # 5.2→3.6 ms on band 1c).
+        self.pointing_batch = bool(
+            self._composed_stack is not None
+            and self._composed_t_layered
+            and self.wblur_impl != "banded"
+            and os.environ.get("SURFH_POINTING_BATCH", "0") == "1"
+        )
+        self._composed_batch = None
+        self._composed_t_batch = None
+        if self.pointing_batch:
+            n_out = self.oshape[1] * self.oshape[3] * self.slit_shape[2]
+            self._composed_batch = bilinear.batch_composed_plan(
+                self._composed_stack[0], self._composed_stack[1]
+            )
+            self._composed_t_batch = bilinear.batch_composed_layered_t(
+                self._composed_t_stack[0], self._composed_t_stack[1:], n_out
+            )
+
         self._forward_jit = jax.jit(self._forward_fn)
         self._adjoint_jit = None
         self._adjoint_interp_jit = None
@@ -538,7 +569,13 @@ class Channel:
             "wpsf": self._wpsf_dev,
             "slit_w": self.slit_weights_sub,
         }
-        if self._composed_stack is not None:
+        if self.pointing_batch:
+            # pointing-batched composed mode: only the folded tables ship
+            # (the stacked per-pointing variants go unused — same data,
+            # different layout, so shipping both would double the upload)
+            t["cgrid_b"] = self._composed_batch
+            t["cgrid_t_b"] = self._composed_t_batch[1:]
+        elif self._composed_stack is not None:
             # composed mode: the staged gather/transpose tables go unused —
             # omitting them saves their HBM residency and tunnel upload
             # (they are replicated per device in the sharded modes)
@@ -703,6 +740,26 @@ class Channel:
     def _forward_windowed_impl(self, xw, wpsf, impl, tables=None,
                                bbox_in=False):
         n_pt = len(self.pointings)
+        cb = None
+        if impl != "banded":
+            if tables is not None:
+                cb = tables.get("cgrid_b")
+                slit_wb = tables["slit_w"] if cb is not None else None
+            elif self.pointing_batch:
+                cb = self._composed_batch
+                slit_wb = self.slit_weights_sub
+        if cb is not None:
+            # pointing-batched composed path: ONE gather + ONE wblur GEMM
+            # for all pointings (same linear map as the scanned spelling)
+            a0, b0, ha, wb = self._tbbox
+            W_ = xw.shape[0]
+            patch = xw if bbox_in else xw[:, a0 : a0 + ha, b0 : b0 + wb]
+            win = bilinear.apply_composed_plan(
+                cb[0], cb[1], patch.reshape(W_, ha * wb)
+            )
+            S, A, sb = self.oshape[1], self.oshape[3], self.slit_shape[2]
+            w5 = win.reshape(W_, n_pt, S, A, sb) * slit_wb[None, None]
+            return wblur.wblur_sum_beta_pointings(w5, wpsf)
         if tables is None:
             slit_w = None
             comp = (
@@ -823,6 +880,40 @@ class Channel:
         # the same contraction can land on the VPU with a bad layout)
         wp2d = wpsf.reshape(K, W * sb)
         off = self._box_offset
+
+        ctb = None
+        if not banded:
+            if tables is not None:
+                ctb = tables.get("cgrid_t_b")
+            elif self.pointing_batch:
+                ctb = self._composed_t_batch[1:]
+        if ctb is not None:
+            # pointing-batched composed transpose: ONE wblur_t GEMM and one
+            # take per layered-prefix layer serve all pointings; the final
+            # sum over the pointing axis is the adjoint accumulation.
+            # Same taps and order as the scanned spelling.
+            n_pt = len(self.pointings)
+            a0, b0, ha, wb = self._tbbox
+            linv_b, *rest = ctb
+            layers = list(zip(rest[0::2], rest[1::2]))
+            y2d = jnp.transpose(y, (0, 1, 3, 2)).reshape(n_pt * S * n_aout, K)
+            win_t = jax.lax.dot_general(
+                y2d, wp2d, (((1,), (0,)), ((), ())),
+                preferred_element_type=y.dtype,
+            ).reshape(n_pt, S, n_aout, W, sb).transpose(0, 1, 3, 2, 4)
+            win_t = win_t * slit_w[None, :, None, :, :]
+            vals = jnp.transpose(win_t, (2, 0, 1, 3, 4)).reshape(W, -1)
+            patches = bilinear.apply_composed_plan_layered_t_batched(
+                n_pt, linv_b, layers, vals
+            )
+            patch = patches.sum(axis=0).T.reshape(W, ha, wb)
+            if bbox_out:
+                return patch
+            na_g, nb_g = self.imshape
+            return jnp.pad(
+                patch,
+                ((0, 0), (a0, na_g - a0 - ha), (b0, nb_g - b0 - wb)),
+            )
 
         def one_pointing(yp, tplan, cgrid_t=None):
             # transpose of wblur_sum_beta, all slits at once

@@ -320,7 +320,8 @@ class SpectroSigRLSCT(LinOp):
                 rank_on = (
                     self.conv_rank_rtol > 0.0
                     and self.lmm
-                    and "cgrid" in t  # rank planes ride the composed gather
+                    # rank planes ride the composed gather (either layout)
+                    and ("cgrid" in t or "cgrid_b" in t)
                 )
                 if rank_on:
                     cu, v_psf, tail = fft.lowrank_stamp_factor(

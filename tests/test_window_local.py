@@ -136,7 +136,8 @@ def test_composed_gridding_matches_staged():
     for chan in composed.channels:
         if chan._composed_stack is not None:
             t = chan.host_tables()
-            assert "cgrid" in t and "plan_idx" not in t and "tplan" not in t
+            assert ("cgrid" in t) or ("cgrid_b" in t)  # either layout ships
+            assert "plan_idx" not in t and "tplan" not in t
     rng = np.random.default_rng(0)
     x = rng.random(staged.ishape)
     ys, yc = np.asarray(staged.forward(x)), np.asarray(composed.forward(x))
@@ -262,3 +263,51 @@ def test_conv_rank_gate_declines_tiny_windows():
     tables = model.host_tables()
     assert all("cu" not in t for t in tables["chan"])
     assert all("rank" not in s for s in model.conv_supports)
+
+
+def test_pointing_batch_matches_scanned():
+    """The pointing-batched composed path (SURFH_POINTING_BATCH, the
+    default: one gather + one wblur GEMM forward, one take per transpose
+    layer adjoint, all pointings at once) computes the SAME linear map as
+    the scanned per-pointing spelling — same taps, same per-destination
+    accumulation order; only the GEMM shape (and hence the backend's
+    reduction blocking, ~1e-15 rel) changes."""
+    import os
+
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_model
+
+    kw = dict(im_size=41, n_lambda=24, n_tpl=3, n_channels=2, n_pointings=3,
+              n_slit=4, dtype=jnp.float64)
+    old = os.environ.get("SURFH_POINTING_BATCH")
+    try:
+        os.environ["SURFH_POINTING_BATCH"] = "0"
+        scanned, setup = make_model(**kw)
+        os.environ["SURFH_POINTING_BATCH"] = "1"
+        batched, _ = make_model(**kw)
+    finally:
+        if old is None:
+            os.environ.pop("SURFH_POINTING_BATCH", None)
+        else:
+            os.environ["SURFH_POINTING_BATCH"] = old
+    assert all(not c.pointing_batch for c in scanned.channels)
+    assert any(c.pointing_batch for c in batched.channels)
+    for chan in batched.channels:
+        if chan.pointing_batch:
+            t = chan.host_tables()
+            assert "cgrid_b" in t and "cgrid" not in t
+
+    rng = np.random.default_rng(3)
+    x = rng.random(scanned.ishape)
+    ys = np.asarray(scanned.forward(x))
+    yb = np.asarray(batched.forward(x))
+    np.testing.assert_allclose(yb, ys, rtol=0, atol=1e-13 * np.abs(ys).max())
+    yr = rng.standard_normal(scanned.oshape)
+    a_s = np.asarray(scanned.adjoint_fn(yr))
+    a_b = np.asarray(batched.adjoint_fn(yr))
+    np.testing.assert_allclose(a_b, a_s, rtol=0, atol=1e-13 * np.abs(a_s).max())
+    # dot-test of the batched pair
+    lhs = float(np.vdot(yb, yr))
+    rhs = float(np.vdot(x, a_b))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12

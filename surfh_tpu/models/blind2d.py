@@ -50,13 +50,18 @@ class _Blind2DBase(LinOp):
         super().__init__(ishape, (int(np.prod(self.slices_shape)),), dtype)
         self.imshape = self.ishape
 
-        ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        # Static tables stay HOST NumPy: jit embeds them as program
+        # constants, which works on every backend — an eager `jnp.asarray`
+        # would device_put complex64 (UNIMPLEMENTED on the axon TPU runtime,
+        # surfacing lazily) and force a device→host constant fetch at trace
+        # time (also UNIMPLEMENTED for non-f32).  Same rule as channel.py.
+        ctype = np.complex64 if dtype == jnp.float32 else np.complex128
         otf_sr = fft.box_otf_sr(self.srf, self.local_im_shape, np.complex128)[0]
         decalf = fft.half_srf_shift_otf(self.srf, self.local_im_shape, np.complex128)
         self._otf_sr = otf_sr
         self.decalf = decalf
-        self.otf_combined = jnp.asarray(otf_sr * decalf, ctype)
-        self.sotf = jnp.asarray(self.sotf_host, ctype)
+        self.otf_combined = np.asarray(otf_sr * decalf, ctype)
+        self.sotf = np.asarray(self.sotf_host, ctype)
 
         # slit windows
         self._build_slit_tables()
@@ -139,7 +144,9 @@ class _Blind2DBase(LinOp):
         self.slit_b_starts = np.asarray(b_starts, np.int32)
         n_aout = self.slices_shape[2]
         w = np.stack(weights)
-        self.slit_weights_sub = jnp.asarray(w[:, : n_aout * self.srf : self.srf, :], self.dtype)
+        npdtype = np.float32 if self.dtype == jnp.float32 else np.float64
+        self.slit_weights_sub = np.asarray(
+            w[:, : n_aout * self.srf : self.srf, :], npdtype)
 
     # pipeline pieces ---------------------------------------------------
     def _grid(self, blurred, p_idx):
@@ -221,7 +228,10 @@ class MRSBlurred(_Blind2DBase):
             self.plans.append(
                 bilinear.bilinear_plan(self.alpha_axis, self.beta_axis, bilinear.grid_points(ga, gb))
             )
-        self._plans_dev = [(jnp.asarray(p.idx), jnp.asarray(p.w, self.dtype)) for p in self.plans]
+        npdtype = np.float32 if self.dtype == jnp.float32 else np.float64
+        self._plans_dev = [
+            (np.asarray(p.idx), np.asarray(p.w, npdtype)) for p in self.plans
+        ]
         self._forward_jit = jax.jit(self._forward_fn)  # rebuild with plans
 
     def _grid(self, blurred, p_idx):
@@ -269,8 +279,8 @@ class DeconvCube(LinOp):
 
     def __init__(self, base: _Blind2DBase, sotf_stack):
         self.base = base
-        ctype = jnp.complex64 if base.dtype == jnp.float32 else jnp.complex128
-        self.sotf_stack = jnp.asarray(sotf_stack, ctype)
+        ctype = np.complex64 if base.dtype == jnp.float32 else np.complex128
+        self.sotf_stack = np.asarray(sotf_stack, ctype)
         w = int(self.sotf_stack.shape[0])
         self.n_lambda = w
         self.cube_oshape = (w,) + base.slices_shape

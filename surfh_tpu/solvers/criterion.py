@@ -57,8 +57,11 @@ class DifferenceOperatorJoint:
     """Joint Laplacian prior in Fourier (reference fusion_CT.py:45-63)."""
 
     def __init__(self, shape_target, dtype=jnp.float32):
-        ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
-        self.d_freq = jnp.asarray(
+        # host NumPy, not device: eager complex64 device_put is UNIMPLEMENTED
+        # on the axon TPU runtime (and errors surface lazily); jit embeds the
+        # host constant instead (same rule as the channel/blind2d tables)
+        ctype = np.complex64 if dtype == jnp.float32 else np.complex128
+        self.d_freq = np.asarray(
             fft.ir2fr(fft.laplacian(2), tuple(shape_target))[np.newaxis], ctype
         )
         self.shape_target = tuple(shape_target)

@@ -298,6 +298,106 @@ def allband(npix, bands, pointings, n_templates, hyper_parameter, niter,
 
 
 @cli.command()
+@click.argument("operation", type=click.Choice(
+    ["targ-coords", "rotation", "swap-slits", "rank-target"]))
+@click.option("--raw-dir", type=click.Path(exists=True), default=None,
+              help="Raw-exposure directory (source of RA_V1/DEC_V1/PA_V3).")
+@click.option("--slice-dir", "slice_dirs", multiple=True,
+              type=click.Path(exists=True),
+              help="Corrected/filtered slice directory (repeatable).")
+@click.option("--match", default="ch2", show_default=True,
+              help="Filename substring filter (swap-slits).")
+@click.option("--n-slit", default=17, show_default=True)
+@click.option("--block-width", default=24, show_default=True)
+@click.option("--ref-ra", type=float, default=None, help="Target RA (rank-target).")
+@click.option("--ref-dec", type=float, default=None, help="Target DEC (rank-target).")
+@click.option("--verbose", "-v", is_flag=True)
+def metadata(operation, raw_dir, slice_dirs, match, n_slit, block_width,
+             ref_ra, ref_dec, verbose):
+    """Header-metadata fix-ups of the real-data correction chain.
+
+    Parametrized equivalents of the reference one-off scripts:
+    targ-coords ≙ correct_RA_DEC_corrected_slices.py, rotation ≙
+    correct_rotation_slices.py, swap-slits ≙
+    swipe_filter_corrected_mrs_data.py, rank-target ≙
+    compare_fits_target_regarding_position.py."""
+    from .preprocessing import metadata as md
+
+    if operation == "targ-coords":
+        if not raw_dir or not slice_dirs:
+            raise click.UsageError("targ-coords needs --raw-dir and --slice-dir")
+        n = md.propagate_target_coords(raw_dir, list(slice_dirs), verbose=verbose)
+        click.echo(json.dumps({"operation": operation, "files_updated": n}))
+    elif operation == "rotation":
+        if not raw_dir or len(slice_dirs) != 1:
+            raise click.UsageError("rotation needs --raw-dir and ONE --slice-dir")
+        n = md.propagate_rotation(raw_dir, slice_dirs[0], verbose=verbose)
+        click.echo(json.dumps({"operation": operation, "files_updated": n}))
+    elif operation == "swap-slits":
+        if len(slice_dirs) != 1:
+            raise click.UsageError("swap-slits needs ONE --slice-dir")
+        n = md.swap_slit_blocks_in_files(
+            slice_dirs[0], match=match, n_slit=n_slit, block_width=block_width,
+            verbose=verbose)
+        click.echo(json.dumps({"operation": operation, "files_updated": n}))
+    else:  # rank-target
+        if not raw_dir or ref_ra is None or ref_dec is None:
+            raise click.UsageError("rank-target needs --raw-dir, --ref-ra, --ref-dec")
+        paths = [os.path.join(raw_dir, f) for f in sorted(os.listdir(raw_dir))
+                 if f.endswith(".fits")]
+        ranked = md.rank_files_by_target_distance(paths, ref_ra, ref_dec)
+        click.echo(json.dumps({"operation": operation, "ranked": [
+            {"path": p, "distance_deg": d} for p, d in ranked]}))
+
+
+@cli.command("compare-flux")
+@click.option("--fusion-cube", required=True, type=click.Path(exists=True),
+              help=".npy fused cube (λ, y, x).")
+@click.option("--real-cube", required=True, type=click.Path(exists=True),
+              help=".npy or FITS s3d real cube to compare against.")
+@click.option("--mask", type=click.Path(exists=True), default=None,
+              help="Optional .npy binary mask applied to the fused cube.")
+@click.option("--median-size", default=15, show_default=True,
+              help="λ median filter on the real cube (0 = off).")
+@click.option("--region", default=None,
+              help="Polygon vertices 'r1,c1;r2,c2;...' for a region spectrum.")
+@click.option("--output", "-o", default=None, help="Save curves to this .npz.")
+def compare_flux(fusion_cube, real_cube, mask, median_size, region, output):
+    """Mean-flux comparison of a fused cube vs a real data cube, per λ-slice
+    (reference scripts/compare_mean_flux_fusion_vs_real_data.py: non-zero
+    mean per slice, optional polygon-region spectrum, λ median filter)."""
+    from .preprocessing import median_filter_slices
+    from .utils import metrics
+
+    fused = np.load(fusion_cube)
+    if mask:
+        fused = fused * np.load(mask)[np.newaxis, ...]
+    if real_cube.endswith(".npy"):
+        real = np.load(real_cube)
+    else:
+        from .preprocessing import fits_open
+
+        hdus = fits_open(real_cube)
+        real = np.asarray(next(h.data for h in hdus if h.data is not None
+                               and np.ndim(h.data) == 3), np.float64)
+    real = np.nan_to_num(real)
+    if median_size:
+        real = median_filter_slices(real.reshape(real.shape[0], -1),
+                                    size=median_size).reshape(real.shape)
+    out = {
+        "mean_flux_fusion": metrics.nonzero_mean_per_slice(fused),
+        "mean_flux_real": metrics.nonzero_mean_per_slice(real),
+    }
+    if region:
+        poly = [tuple(map(float, p.split(","))) for p in region.split(";")]
+        out["region_spectrum"] = metrics.region_mean_spectrum(fused, poly)
+    if output:
+        np.savez(output, **out)
+    click.echo(json.dumps({k: [float(v[0]), float(v[-1])] for k, v in out.items()}
+                          | {"n_lambda": int(fused.shape[0])}))
+
+
+@cli.command()
 def info():
     """Print device/backend information."""
     import jax

@@ -8,6 +8,15 @@ from .distortion import (
     sort_labels_by_centroid,
 )
 from .fits_io import fits_open, fits_write
+from .metadata import (
+    mean_slit_world_coords,
+    parse_raw_name,
+    propagate_rotation,
+    propagate_target_coords,
+    rank_files_by_target_distance,
+    swap_slit_blocks,
+    swap_slit_blocks_in_files,
+)
 from .shepard import exponential_modified_shepard
 
 __all__ = [
@@ -15,7 +24,14 @@ __all__ = [
     "fits_open",
     "fits_write",
     "generate_label_image",
+    "mean_slit_world_coords",
     "median_filter_slices",
     "mrs_slices_distortion_correction",
+    "parse_raw_name",
+    "propagate_rotation",
+    "propagate_target_coords",
+    "rank_files_by_target_distance",
     "sort_labels_by_centroid",
+    "swap_slit_blocks",
+    "swap_slit_blocks_in_files",
 ]

@@ -84,3 +84,55 @@ def ssim(vref, vcmp, dyn=None):
     sxy = f(x * y) - mxy
     s = ((2 * mxy + C1) * (2 * sxy + C2)) / ((mx2 + my2 + C1) * (sx + sy + C2))
     return float(np.mean(s))
+
+
+def nonzero_mean_per_slice(cube):
+    """Mean of the non-zero pixels of each λ-slice of a (λ, y, x) cube —
+    the per-wavelength flux curve the reference compares between fused and
+    real cubes (scripts/compare_mean_flux_fusion_vs_real_data.py:64-72).
+    Slices with no non-zero pixel map to 0."""
+    cube = np.asarray(cube)
+    flat = cube.reshape(cube.shape[0], -1)
+    nz = flat != 0
+    counts = nz.sum(axis=1)
+    sums = np.where(nz, flat, 0.0).sum(axis=1)
+    return np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+
+
+def points_in_polygon(points_yx, polygon):
+    """Even-odd-rule point-in-polygon test (ray casting), vectorized over
+    an (N, 2) array of (row, col) points against an (M, 2) polygon.
+    Dependency-free stand-in for matplotlib.path.Path.contains_point as
+    used by compare_mean_flux_fusion_vs_real_data.py:94-110."""
+    pts = np.asarray(points_yx, np.float64)
+    poly = np.asarray(polygon, np.float64)
+    x, y = pts[:, 1], pts[:, 0]
+    inside = np.zeros(len(pts), dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        y0, x0 = poly[i - 1, 0], poly[i - 1, 1]
+        y1, x1 = poly[i, 0], poly[i, 1]
+        crosses = (y0 > y) != (y1 > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+        inside ^= crosses & (x < np.where(crosses, xint, np.inf))
+    return inside
+
+
+def region_mean_spectrum(cube, polygon):
+    """Mean spectrum over the pixels of a (λ, y, x) cube inside an oriented
+    polygon given as (row, col) vertices — the reference's rectangle-region
+    flux comparison (compare_mean_flux_fusion_vs_real_data.py:84-117).
+    Returns a length-λ array; raises if the polygon contains no pixel."""
+    cube = np.asarray(cube)
+    poly = np.asarray(polygon, np.float64)
+    rmin, rmax = int(np.floor(poly[:, 0].min())), int(np.ceil(poly[:, 0].max()))
+    cmin, cmax = int(np.floor(poly[:, 1].min())), int(np.ceil(poly[:, 1].max()))
+    rr, cc = np.mgrid[rmin : rmax + 1, cmin : cmax + 1]
+    pts = np.stack([rr.ravel(), cc.ravel()], axis=1)
+    mask = points_in_polygon(pts, poly)
+    if not mask.any():
+        raise ValueError("polygon contains no pixel")
+    rows, cols = pts[mask, 0].astype(int), pts[mask, 1].astype(int)
+    keep = (rows >= 0) & (rows < cube.shape[1]) & (cols >= 0) & (cols < cube.shape[2])
+    return cube[:, rows[keep], cols[keep]].mean(axis=1)

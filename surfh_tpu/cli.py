@@ -350,6 +350,52 @@ def metadata(operation, raw_dir, slice_dirs, match, n_slit, block_width,
             {"path": p, "distance_deg": d} for p, d in ranked]}))
 
 
+@cli.command("make-cube")
+@click.option("--maps", "maps_path", required=True, type=click.Path(exists=True),
+              help=".npy abundance maps (m, Nα, Nβ) — e.g. a fusion res_x.npy.")
+@click.option("--templates", "templates_path", required=True,
+              type=click.Path(exists=True), help=".npy spectral templates (m, λ).")
+@click.option("--wavel-axis", "wavel_path", type=click.Path(exists=True),
+              default=None, help=".npy λ axis (for FITS WCS headers).")
+@click.option("--output", "-o", required=True,
+              help="Output cube path (.npy, or .fits with λ WCS when "
+                   "--wavel-axis is given).")
+def make_cube(maps_path, templates_path, wavel_path, output):
+    """Mix abundance maps with spectral templates into a hyperspectral cube
+    (reference scripts/make_cube_from_maps.py: model.mapsToCube on saved
+    res_x maps; the mixing itself is cube[λ]=Σ_m maps[m]·templates[m,λ])."""
+    from .core.lmm import lmm_maps2cube
+
+    maps = np.load(maps_path)
+    templates = np.load(templates_path)
+    if templates.ndim == 1:
+        templates = templates[np.newaxis, ...]
+    if maps.ndim == 2:
+        maps = maps[np.newaxis, ...]
+    if templates.ndim != 2 or maps.ndim != 3:
+        raise click.UsageError(
+            f"expected maps (m, Nα, Nβ) and templates (m, λ); got "
+            f"{maps.shape} and {templates.shape}")
+    if maps.shape[0] != templates.shape[0]:
+        raise click.UsageError(
+            f"maps ({maps.shape[0]}) and templates ({templates.shape[0]}) "
+            "disagree on the number of components")
+    cube = np.asarray(lmm_maps2cube(maps, templates))
+    if output.endswith(".fits"):
+        from .preprocessing import fits_write
+
+        header = {}
+        if wavel_path:
+            wavel = np.load(wavel_path)
+            header = {"CRVAL3": float(wavel[0]), "CRPIX3": 1.0,
+                      "CDELT3": float(wavel[1] - wavel[0]) if len(wavel) > 1 else 1.0,
+                      "CUNIT3": "um", "CTYPE3": "WAVE"}
+        fits_write(output, cube.astype(np.float32), header=header)
+    else:
+        np.save(output, cube)
+    click.echo(json.dumps({"cube_shape": list(cube.shape), "output": output}))
+
+
 @cli.command("compare-flux")
 @click.option("--fusion-cube", required=True, type=click.Path(exists=True),
               help=".npy fused cube (λ, y, x).")

@@ -134,6 +134,29 @@ def visualize_corrected_slices(data_shape, corrected_data, show: bool = True):
     return fig
 
 
+def plot_flux_comparison(wavel, mean_flux_fusion, mean_flux_real, show: bool = True):
+    """Fused-vs-pipeline mean-flux curves plus their relative difference
+    (reference scripts/plot_spectra.py:14-22 and the comparison plot of
+    compare_mean_flux_fusion_vs_real_data.py:77-79)."""
+    plt = _plt()
+    wavel = np.asarray(wavel)
+    fusion = np.asarray(mean_flux_fusion)
+    real = np.asarray(mean_flux_real)
+    fig, (ax0, ax1) = plt.subplots(2, 1, sharex=True, figsize=(8, 6))
+    ax0.plot(wavel, fusion, label="Fusion", linewidth=2)
+    ax0.plot(wavel, real, label="Pipeline", linewidth=2)
+    ax0.legend()
+    ax0.set_ylabel("mean flux")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rel = np.where(fusion != 0, (fusion - real) / fusion, 0.0)
+    ax1.plot(wavel, rel, linewidth=2)
+    ax1.set_ylabel("(fusion − pipeline) / fusion")
+    ax1.set_xlabel("λ (µm)")
+    if show:
+        plt.show()
+    return fig
+
+
 def visualize_projected_slices(slices, wavels: Optional[Sequence[float]] = None, show: bool = True):
     """One image per slice stack at chosen wavelengths
     (reference slices_vizualisation.py:50-97)."""

@@ -275,3 +275,51 @@ def test_cli_metadata_and_compare_flux(tmp_path):
     saved = np.load(tmp_path / "flux.npz")
     np.testing.assert_allclose(saved["mean_flux_fusion"], fused.mean(axis=(1, 2)))
     assert saved["region_spectrum"].shape == (6,)
+
+
+def test_cli_make_cube_and_flux_plot(tmp_path):
+    """make-cube mixes maps×templates exactly; plot_flux_comparison renders
+    headless."""
+    import json
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from click.testing import CliRunner
+
+    from surfh_tpu.cli import cli
+    from surfh_tpu.viz import plot_flux_comparison
+
+    rng = np.random.default_rng(5)
+    maps = rng.random((3, 7, 6))
+    tpl = rng.random((3, 9))
+    wavel = np.linspace(5.0, 6.0, 9)
+    np.save(tmp_path / "maps.npy", maps)
+    np.save(tmp_path / "tpl.npy", tpl)
+    np.save(tmp_path / "wavel.npy", wavel)
+
+    out_npy = tmp_path / "cube.npy"
+    r = CliRunner().invoke(
+        cli, ["make-cube", "--maps", str(tmp_path / "maps.npy"),
+              "--templates", str(tmp_path / "tpl.npy"), "-o", str(out_npy)]
+    )
+    assert r.exit_code == 0, r.output
+    assert json.loads(r.output)["cube_shape"] == [9, 7, 6]
+    np.testing.assert_allclose(
+        np.load(out_npy), np.einsum("mij,ml->lij", maps, tpl), rtol=1e-6
+    )
+
+    out_fits = tmp_path / "cube.fits"
+    r = CliRunner().invoke(
+        cli, ["make-cube", "--maps", str(tmp_path / "maps.npy"),
+              "--templates", str(tmp_path / "tpl.npy"),
+              "--wavel-axis", str(tmp_path / "wavel.npy"), "-o", str(out_fits)]
+    )
+    assert r.exit_code == 0, r.output
+    hdus = fits_open(str(out_fits))
+    assert hdus[0].header["CRVAL3"] == pytest.approx(5.0)
+    assert hdus[0].header["CDELT3"] == pytest.approx(0.125)
+    assert hdus[0].data.shape == (9, 7, 6)
+
+    fig = plot_flux_comparison(wavel, rng.random(9), rng.random(9), show=False)
+    assert fig is not None

@@ -17,6 +17,7 @@ from .metadata import (
     swap_slit_blocks,
     swap_slit_blocks_in_files,
 )
+from .s3d import nan_border, read_s3d, resample_cube_to_grid
 from .shepard import exponential_modified_shepard
 
 __all__ = [
@@ -27,7 +28,10 @@ __all__ = [
     "mean_slit_world_coords",
     "median_filter_slices",
     "mrs_slices_distortion_correction",
+    "nan_border",
     "parse_raw_name",
+    "read_s3d",
+    "resample_cube_to_grid",
     "propagate_rotation",
     "propagate_target_coords",
     "rank_files_by_target_distance",

@@ -50,6 +50,7 @@ _BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # TPU v5e peak: 197 TFLOP/s bf16 (the MXU's native mode).  The pipeline runs
 # float32, so this denominator is conservative (an f32-peak MFU would be ~2×).
 V5E_PEAK_FLOPS = 197e12
+V5E_HBM_BW = 819e9  # bytes/s
 
 
 def _analytic_flops(model) -> float:
@@ -194,18 +195,28 @@ def main():
     # FLOPs: XLA's own cost model of the compiled program(s), analytic
     # fallback.  In dispatch mode one application = the fwd + adj programs;
     # in loop mode the chain program counts `chain` applications.
-    def _xla_flops(c):
+    def _xla_cost(c, key):
         ca = c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca["flops"])
+        return float(ca[key])
 
+    def _xla_flops(c):
+        return _xla_cost(c, "flops")
+
+    bytes_per_app = None
     try:
         if mode == "dispatch":
             adj_compiled = adj_c.lower(
                 jnp.zeros(model.oshape, jnp.float32), *app_args
             ).compile()
             flops_per_app = _xla_flops(compiled) + _xla_flops(adj_compiled)
+            try:
+                bytes_per_app = _xla_cost(compiled, "bytes accessed") + _xla_cost(
+                    adj_compiled, "bytes accessed"
+                )
+            except Exception:
+                bytes_per_app = None
         else:
             # XLA's cost model counts a while-loop body ONCE (trip count
             # opaque), so the chain program's flops ≈ one application
@@ -215,6 +226,11 @@ def main():
         flops_per_app = _analytic_flops(model)
     tflops = flops_per_app / t_jax / 1e12
     mfu = flops_per_app / t_jax / V5E_PEAK_FLOPS
+    # This pipeline is gather/bandwidth-bound, not MXU-bound: the roofline
+    # that matters is HBM traffic vs the v5e's 819 GB/s, not matmul peak.
+    hbm_util = (
+        bytes_per_app / t_jax / V5E_HBM_BW if bytes_per_app is not None else None
+    )
 
     # CPU baseline (reference-equivalent NumPy path).
     baseline_s = None
@@ -259,6 +275,8 @@ def main():
                 "flops_per_app": flops_per_app,
                 "tflops": round(tflops, 3),
                 "mfu_est": round(mfu, 4),
+                "bytes_per_app": bytes_per_app,
+                "hbm_util_est": round(hbm_util, 4) if hbm_util is not None else None,
                 "baseline_s": baseline_s,
                 "baseline_config": baseline_cfg,
                 "cube_shape": list(model.cube_shape),

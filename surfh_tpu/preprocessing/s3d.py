@@ -146,7 +146,12 @@ def resample_cube_to_grid(
     vals, ra, dec = oversample_plane_cloud(cube, np.asarray(ra_map),
                                            np.asarray(dec_map), oversample)
     pts = np.stack([ra.ravel(), dec.ravel()], axis=-1)
+    # Drop points with non-finite coordinates AND points that carry no data
+    # in any plane (the NaN'd borders — a spatial pattern, identical across
+    # λ, so one triangulation still serves every plane).  Zero-blending
+    # those into edge triangles would bias border pixels toward 0.
     good = np.isfinite(pts).all(axis=1)
+    good &= np.isfinite(vals).any(axis=0).ravel()
     tri = Delaunay(pts[good])
 
     aa = np.tile(np.asarray(alpha_axis)[None, :], (len(beta_axis), 1))
@@ -156,8 +161,9 @@ def resample_cube_to_grid(
     out = np.empty((vals.shape[0], len(beta_axis), len(alpha_axis)), np.float64)
     for w in range(vals.shape[0]):
         v = vals[w].ravel()[good]
-        # NaN data points would poison whole triangles; zero them like the
-        # reference does post-hoc on the slices (":267").
+        # Residual per-plane NaNs (bad pixels inside the footprint) would
+        # poison whole triangles; zero them like the reference does
+        # post-hoc on the slices (":267").
         interp = LinearNDInterpolator(tri, np.nan_to_num(v), fill_value=fill_value)
         out[w] = interp(xi).reshape(len(beta_axis), len(alpha_axis))
     return out

@@ -155,3 +155,18 @@ def test_convert_s3d_script(tmp_path):
     assert got.shape == (4, 9, 9)
     assert mask.shape == (9, 9) and mask.any()
     np.testing.assert_allclose(wavel, 5.0 + np.arange(4) * 0.01)
+
+
+def test_resample_border_not_zero_blended():
+    """Border-NaN'd pixels are excluded from the cloud, not zero-blended:
+    a constant-1 field stays exactly 1 right up to the interior edge."""
+    ny, nx = 10, 10
+    yy, xx = np.mgrid[0:ny, 0:nx].astype(float)
+    ra, dec = 1.0 + 0.01 * xx, 2.0 + 0.01 * yy
+    cube = np.ones((2, ny, nx))
+    # targets hugging the interior edge of the border=2 exclusion zone
+    alpha_axis = 1.0 + 0.01 * np.array([2.0, 2.1, 7.0])
+    beta_axis = 2.0 + 0.01 * np.array([2.0, 5.0, 7.0])
+    out = resample_cube_to_grid(cube, ra, dec, alpha_axis, beta_axis,
+                                oversample=1, border=2)
+    np.testing.assert_allclose(out, 1.0, rtol=1e-12)

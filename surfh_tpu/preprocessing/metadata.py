@@ -168,10 +168,10 @@ def swap_slit_blocks(
     width ``block_width`` (the reference's ch2 slit-order 'swipe',
     swipe_filter_corrected_mrs_data.py:33-39)."""
     data = np.asarray(data)
-    if data.shape[-1] < n_slit * block_width:
+    if data.shape[-1] != n_slit * block_width:
         raise ValueError(
-            f"detector width {data.shape[-1]} < n_slit*block_width "
-            f"({n_slit}*{block_width})"
+            f"detector width {data.shape[-1]} != n_slit*block_width "
+            f"({n_slit}*{block_width}) — refusing to silently drop columns"
         )
     blocks = [data[..., i * block_width : (i + 1) * block_width] for i in range(n_slit)]
     return np.concatenate(blocks[::-1], axis=-1)

@@ -131,8 +131,8 @@ def region_mean_spectrum(cube, polygon):
     rr, cc = np.mgrid[rmin : rmax + 1, cmin : cmax + 1]
     pts = np.stack([rr.ravel(), cc.ravel()], axis=1)
     mask = points_in_polygon(pts, poly)
-    if not mask.any():
-        raise ValueError("polygon contains no pixel")
     rows, cols = pts[mask, 0].astype(int), pts[mask, 1].astype(int)
     keep = (rows >= 0) & (rows < cube.shape[1]) & (cols >= 0) & (cols < cube.shape[2])
+    if not keep.any():
+        raise ValueError("polygon contains no pixel inside the cube")
     return cube[:, rows[keep], cols[keep]].mean(axis=1)

@@ -323,3 +323,9 @@ def test_cli_make_cube_and_flux_plot(tmp_path):
 
     fig = plot_flux_comparison(wavel, rng.random(9), rng.random(9), show=False)
     assert fig is not None
+
+
+def test_region_mean_spectrum_outside_cube_raises():
+    cube = np.ones((2, 5, 5))
+    with pytest.raises(ValueError):
+        region_mean_spectrum(cube, [(10, 10), (10, 12), (12, 12), (12, 10)])

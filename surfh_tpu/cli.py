@@ -443,6 +443,39 @@ def compare_flux(fusion_cube, real_cube, mask, median_size, region, output):
                           | {"n_lambda": int(fused.shape[0])}))
 
 
+@cli.command("gen-psf")
+@click.option("--wavel-axis", "-w", type=click.Path(exists=True), default=None,
+              help="λ-axis .npy (µm). Defaults to the band's detector table.")
+@click.option("--band", "-b", default="1c", show_default=True,
+              help="MRS band for the default λ axis.")
+@click.option("--pixelscale", default=0.025, show_default=True, help="Arcsec/pixel.")
+@click.option("--npix", default=501, show_default=True, help="Output grid size.")
+@click.option("--oversample", default=1, show_default=True)
+@click.option("--n-pupil", default=256, show_default=True, help="Pupil grid samples.")
+@click.option("--output", "-o", default="psf.npy", show_default=True)
+def gen_psf(wavel_axis, band, pixelscale, npix, oversample, n_pupil, output):
+    """Generate a monochromatic JWST diffraction PSF stack (webbpsf-free).
+
+    Native physical-optics replacement for the reference's
+    `scripts/webbpsf_generation.py` (segmented-pupil matrix Fourier
+    transform; see `utils/jwst_psf.py`). Writes [Nλ, npix, npix] float32.
+    """
+    from .instrument.wavelength_mrs import get_mrs_wavelength
+    from .utils.jwst_psf import psf_stack
+
+    wavels = (np.load(wavel_axis) if wavel_axis is not None
+              else get_mrs_wavelength(band))
+    t0 = time.time()
+    stack = psf_stack(wavels, pixelscale, npix=npix, oversample=oversample,
+                      n_pupil=n_pupil)
+    np.save(output, stack)
+    click.echo(json.dumps({
+        "n_lambda": int(stack.shape[0]), "npix": npix,
+        "pixelscale": pixelscale, "seconds": round(time.time() - t0, 2),
+        "output": output,
+    }))
+
+
 @cli.command()
 def info():
     """Print device/backend information."""

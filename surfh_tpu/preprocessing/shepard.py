@@ -17,15 +17,18 @@ import jax.numpy as jnp
 import numpy as np
 
 _NATIVE_LIB = None
-_NATIVE_TRIED = False
 
 
 def _native_lib():
-    """Load the optional OpenMP C++ kernel (native/libsurfh_native.so)."""
-    global _NATIVE_LIB, _NATIVE_TRIED
-    if _NATIVE_TRIED:
+    """Load the optional OpenMP C++ kernel (native/libsurfh_native.so).
+
+    Successful loads are cached; a miss is re-checked on every call (an
+    `os.path.exists` — cheap) so a library built after first use (e.g. by
+    the test fixture, or `make -C native` mid-session) is picked up.
+    """
+    global _NATIVE_LIB
+    if _NATIVE_LIB is not None:
         return _NATIVE_LIB
-    _NATIVE_TRIED = True
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "native",

@@ -53,6 +53,24 @@ def test_cli_deconv_cube(tmp_path):
     assert os.path.exists(tmp_path / "deconv_cube_x.npy")
 
 
+def test_cli_gen_psf(tmp_path):
+    """webbpsf_generation.py as one webbpsf-free command (utils/jwst_psf)."""
+    import numpy as np
+
+    wpath = tmp_path / "wavels.npy"
+    np.save(wpath, np.array([8.0, 10.0]))
+    out = tmp_path / "psf.npy"
+    result = CliRunner().invoke(
+        cli,
+        ["gen-psf", "-w", str(wpath), "--npix", "65", "--n-pupil", "128",
+         "-o", str(out)],
+    )
+    assert result.exit_code == 0, result.output
+    stack = np.load(out)
+    assert stack.shape == (2, 65, 65) and stack.dtype == np.float32
+    assert float(stack.sum(axis=(1, 2)).max()) <= 1.0 + 1e-3
+
+
 def test_cli_allband(tmp_path):
     """BASELINE config 5 as one command: data → dirty co-add → on-device NMF
     → fusion with learned templates → metrics (2-band CPU-sized run)."""

@@ -144,10 +144,19 @@ def _make_setup_from_instrs(
         templates[m] = t
     maps = rng.random((n_tpl, npix, npix))
 
-    # λ-dependent gaussian PSF stamp stack [Nλ, 40, 40] — compact and cheap;
-    # the flagship model evaluates the OTF from it in-graph
+    # λ-dependent PSF stamp stack [Nλ, 40, 40] — compact and cheap; the
+    # flagship model evaluates the OTF from it in-graph
     # (fft.otf_from_stamps), so the materialized sotf below is optional.
-    psf_stack = gaussian_psf(wavelength_axis, step).astype(np.float32)
+    # SURFH_SIM_PSF=diffraction swaps the gaussian approximation for the
+    # native segmented-pupil physical-optics stack (utils/jwst_psf — the
+    # webbpsf-equivalent the reference simulates with, simulation_data.py:96).
+    if os.environ.get("SURFH_SIM_PSF", "gaussian") == "diffraction":
+        from ..utils.jwst_psf import psf_stack as _diffraction_stack
+
+        psf_stack = _diffraction_stack(wavelength_axis, step, npix=40)
+        psf_stack = (psf_stack / psf_stack.sum(axis=(1, 2), keepdims=True)).astype(np.float32)
+    else:
+        psf_stack = gaussian_psf(wavelength_axis, step).astype(np.float32)
     if psf_stack.shape[1] > npix or psf_stack.shape[2] > npix:
         # center-crop kernels wider than the sky grid and renormalize
         # (same convention as synthetic.make_setup / the reference's

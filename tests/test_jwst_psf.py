@@ -86,6 +86,20 @@ def test_pipeline_compatibility():
     assert np.allclose(renorm.sum(axis=(1, 2)), 1.0, atol=1e-6)
 
 
+def test_flagship_setup_diffraction_knob(monkeypatch):
+    """SURFH_SIM_PSF=diffraction swaps the simulation PSF for the
+    physical-optics stack (reference simulates with webbpsf PSFs)."""
+    monkeypatch.setenv("SURFH_SIM_PSF", "diffraction")
+    from surfh_tpu.simulation.flagship import make_allband_setup
+
+    s = make_allband_setup(npix=41, bands=["1a"], n_pointings=1, lambda_subsample=16)
+    ps = s["psf_stack"]
+    assert ps.shape[1:] == (40, 40)
+    assert np.allclose(ps.sum(axis=(1, 2)), 1.0, atol=1e-5)
+    # diffraction PSFs are NOT gaussian: hex spikes put energy off-axis
+    assert float(ps[0].max()) < 0.5
+
+
 def test_diffraction_spikes_sixfold():
     """Hex segment gaps/edges imprint 6-fold symmetric diffraction structure."""
     pup = jwst_psf.jwst_pupil(256)

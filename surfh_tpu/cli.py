@@ -460,14 +460,21 @@ def gen_psf(wavel_axis, band, pixelscale, npix, oversample, n_pupil, output):
     `scripts/webbpsf_generation.py` (segmented-pupil matrix Fourier
     transform; see `utils/jwst_psf.py`). Writes [Nλ, npix, npix] float32.
     """
+    import jax
+
     from .instrument.wavelength_mrs import get_mrs_wavelength
-    from .utils.jwst_psf import psf_stack
+    from .utils.jwst_psf import psf_stack, psf_stack_device
 
     wavels = (np.load(wavel_axis) if wavel_axis is not None
               else get_mrs_wavelength(band))
     t0 = time.time()
-    stack = psf_stack(wavels, pixelscale, npix=npix, oversample=oversample,
-                      n_pupil=n_pupil)
+    if jax.default_backend() != "cpu":
+        # accelerator: kernels built in-graph, one dispatch per λ-chunk
+        stack = psf_stack_device(wavels, pixelscale, npix=npix,
+                                 oversample=oversample, n_pupil=n_pupil)
+    else:
+        stack = psf_stack(wavels, pixelscale, npix=npix, oversample=oversample,
+                          n_pupil=n_pupil)
     np.save(output, stack)
     click.echo(json.dumps({
         "n_lambda": int(stack.shape[0]), "npix": npix,

@@ -76,6 +76,18 @@ def test_stack_shape_and_oversample():
     assert np.allclose(s1, s_np, rtol=1e-4, atol=1e-9)
 
 
+def test_device_stack_matches_host():
+    """In-graph kernel construction (psf_stack_device) matches the host path."""
+    wavels = np.array([8.0, 10.0, 12.0])
+    host = jwst_psf.psf_stack(wavels, 0.05, npix=65, n_pupil=128)
+    dev = jwst_psf.psf_stack_device(wavels, 0.05, npix=65, n_pupil=128, chunk=2)
+    assert dev.shape == host.shape
+    # f32 in-graph cos/sin of O(100 rad) phases vs host f64 cos/sin
+    assert float(np.abs(dev - host).max() / host.max()) < 1e-3
+    # tail-chunk padding path (len % chunk != 0) returns the unpadded stack
+    assert np.allclose(dev[-1].sum(), host[-1].sum(), rtol=1e-3)
+
+
 def test_pipeline_compatibility():
     wavels = np.linspace(5.0, 6.0, 3)
     stack = jwst_psf.psf_stack(wavels, 0.025, npix=81, n_pupil=128)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _NATIVE_LIB = None
+_NATIVE_FAILED_MTIME = None
 
 
 def _native_lib():
@@ -25,8 +26,11 @@ def _native_lib():
     Successful loads are cached; a miss is re-checked on every call (an
     `os.path.exists` — cheap) so a library built after first use (e.g. by
     the test fixture, or `make -C native` mid-session) is picked up.
+    A .so that exists but fails to load (corrupt build, missing symbol)
+    returns None so backend='auto' falls back to the JAX path; the failure
+    is cached by mtime so a rebuilt library is retried.
     """
-    global _NATIVE_LIB
+    global _NATIVE_LIB, _NATIVE_FAILED_MTIME
     if _NATIVE_LIB is not None:
         return _NATIVE_LIB
     path = os.path.join(
@@ -35,17 +39,24 @@ def _native_lib():
         "libsurfh_native.so",
     )
     if os.path.exists(path):
-        lib = ctypes.CDLL(path)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        lib.exponential_modified_shepard.argtypes = [
-            f32p, f32p, f32p, ctypes.c_int64,
-            f32p, f32p, ctypes.c_int64,
-            ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            ctypes.c_float, ctypes.c_float, ctypes.c_float,
-            f32p,
-        ]
-        lib.exponential_modified_shepard.restype = None
-        _NATIVE_LIB = lib
+        try:
+            mtime = os.path.getmtime(path)
+            if mtime == _NATIVE_FAILED_MTIME:
+                return None
+            lib = ctypes.CDLL(path)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            lib.exponential_modified_shepard.argtypes = [
+                f32p, f32p, f32p, ctypes.c_int64,
+                f32p, f32p, ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                f32p,
+            ]
+            lib.exponential_modified_shepard.restype = None
+            _NATIVE_LIB = lib
+        except (OSError, AttributeError):  # load failure / missing symbol
+            _NATIVE_FAILED_MTIME = mtime
+            return None
     return _NATIVE_LIB
 
 

@@ -101,6 +101,7 @@ def make_allband_setup(
     n_tpl: int = 4,
     lambda_subsample: int = 1,
     seed: int = 19940407,
+    build_sotf: bool = True,
 ):
     """All-band problem on the PCE calibration λ grids (~201 samples/band —
     ~5× coarser than the detector tables): the BASELINE config-5 workload
@@ -110,7 +111,7 @@ def make_allband_setup(
         bands = list(miri.BANDS)
     return _make_setup_from_instrs(
         miri.fusion_bands(bands), bands, npix, n_pointings, n_tpl,
-        lambda_subsample, seed,
+        lambda_subsample, seed, build_sotf=build_sotf,
     )
 
 
@@ -178,7 +179,14 @@ def _make_setup_from_instrs(
         lam_tag = hashlib.sha1(
             np.ascontiguousarray(wavelength_axis, np.float64).tobytes()
         ).hexdigest()[:12]
-        cache_key = f"sotf_n{npix}_l{n_lambda}_s{step}_{lam_tag}.npy"
+        # also key on the PSF stack CONTENTS: the same (npix, λ-axis) setup
+        # can carry different PSF families (SURFH_SIM_PSF=gaussian vs
+        # diffraction), and a stale sotf from the other family would silently
+        # disagree with psf_stack for FFT-mode/numpy_ref consumers
+        psf_tag = hashlib.sha1(
+            np.ascontiguousarray(psf_stack, np.float32).tobytes()
+        ).hexdigest()[:12]
+        cache_key = f"sotf_n{npix}_l{n_lambda}_s{step}_{lam_tag}_{psf_tag}.npy"
         cache_path = os.path.join(cache_dir, cache_key)
         if os.path.exists(cache_path):
             sotf = np.load(cache_path, mmap_mode="r")

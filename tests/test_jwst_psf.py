@@ -30,10 +30,24 @@ def test_pupil_geometry():
     assert 24.0 < area < 28.0
     # centre segment absent: the exact centre is inside the (removed) centre hex
     assert pup[192, 192] == 0.0
-    # six-fold symmetry of the segment layout (rotate 60° ≈ same mask)
-    n_on = int(pup.sum())
-    rot = jwst_psf.jwst_pupil(384)
-    assert int(rot.sum()) == n_on
+    # the mask is invariant under 120° rotation (6-fold segment rings ∩
+    # 3-fold struts); a 45° rotation breaks the hex layout and must NOT match
+    def rot_nn(img, deg):
+        n = img.shape[0]
+        c = (n - 1) / 2.0
+        yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        th = np.deg2rad(deg)
+        xs = (xx - c) * np.cos(th) + (yy - c) * np.sin(th) + c
+        ys = -(xx - c) * np.sin(th) + (yy - c) * np.cos(th) + c
+        xi = np.clip(np.rint(xs).astype(int), 0, n - 1)
+        yi = np.clip(np.rint(ys).astype(int), 0, n - 1)
+        return img[yi, xi]
+
+    # measured: 120° → 0.973 (NN-resampling edge flips only), 45° → 0.798
+    agree_120 = float((rot_nn(pup, 120.0) == pup).mean())
+    agree_45 = float((rot_nn(pup, 45.0) == pup).mean())
+    assert agree_120 > 0.96
+    assert agree_45 < 0.90
 
 
 def test_core_fwhm_matches_lambda_over_d():
@@ -110,6 +124,29 @@ def test_flagship_setup_diffraction_knob(monkeypatch):
     assert np.allclose(ps.sum(axis=(1, 2)), 1.0, atol=1e-5)
     # diffraction PSFs are NOT gaussian: hex spikes put energy off-axis
     assert float(ps[0].max()) < 0.5
+
+
+def test_flagship_sotf_cache_keyed_on_psf_family(monkeypatch, tmp_path):
+    """The sotf disk cache must not serve one PSF family's OTF to the other
+    (ADVICE r2: key previously omitted the family → stale cross-family load)."""
+    from surfh_tpu.simulation.flagship import make_allband_setup
+
+    monkeypatch.setenv("SURFH_CACHE_DIR", str(tmp_path))
+    kw = dict(npix=41, bands=["1a"], n_pointings=1, lambda_subsample=64,
+              build_sotf=True)
+    monkeypatch.setenv("SURFH_SIM_PSF", "gaussian")
+    s_g = make_allband_setup(**kw)
+    monkeypatch.setenv("SURFH_SIM_PSF", "diffraction")
+    s_d = make_allband_setup(**kw)
+    # two distinct cache entries, and each sotf matches ITS OWN psf_stack
+    assert len(list(tmp_path.glob("sotf_*.npy"))) == 2
+    from surfh_tpu.core.fft import ir2fr
+
+    for s in (s_g, s_d):
+        expect = ir2fr(np.asarray(s["psf_stack"][:1]), s["im_shape"])
+        assert np.allclose(s["sotf"][:1], expect, rtol=1e-5, atol=1e-7)
+    assert not np.allclose(np.asarray(s_g["sotf"]), np.asarray(s_d["sotf"]),
+                           rtol=1e-3, atol=1e-5)
 
 
 def test_diffraction_spikes_sixfold():

@@ -34,7 +34,8 @@ import dataclasses
 import numpy as np
 
 
-def build_pair(npix=251, band_name="2a", n_pointings=2, subsample=3):
+def build_pair(npix=251, band_name="2a", n_pointings=2, subsample=3,
+               step_arcsec=0.025):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -49,7 +50,7 @@ def build_pair(npix=251, band_name="2a", n_pointings=2, subsample=3):
     ref_instru = rh.load_reference_instru()
     ref_mod = rh.load_reference_channel(ref_instru)
 
-    step = 0.025 / 3600.0
+    step = step_arcsec / 3600.0
     alpha = (np.arange(npix) - npix / 2) * step
     beta = (np.arange(npix) - npix / 2) * step
     band = miri.fusion_bands([band_name])[0]

@@ -21,8 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 OPS = [
-    "T", "C", "CT", "ST", "ST_NN", "LT", "R", "RL", "RLT",
-    "SigRLT", "SigRLCT", "SigRLSCT", "SigRLSCT_NN", "MO_SigRLSCT",
+    "T", "C", "CT", "ST", "ST_NN", "SCT", "LT", "LST", "MO_ST", "R", "RL",
+    "RLT", "SigRLT", "SigRLCT", "SigRLSCT", "SigRLSCT_NN", "MO_SigRLSCT",
     "MO_SigRLSCT_shiftConv", "MCMO_SigRLSCT", "MCMO_SigRLSCT_NN",
 ]
 
@@ -40,7 +40,10 @@ def build(op_name, fx):
         "CT": lambda: F.SpectroCT(*a),
         "ST": lambda: F.SpectroST(*a, one, sd),
         "ST_NN": lambda: F.SpectroSnearestT(*a, one, sd),
+        "SCT": lambda: F.SpectroSCT(*a, one, sd),
         "LT": lambda: F.SpectroLT(*a, one, sd),
+        "LST": lambda: F.SpectroLST(*a, one, sd),
+        "MO_ST": lambda: F.SpectroMO_ST(*a, one, sd, pts),
         "R": lambda: F.SpectroR(*a, one, sd),
         "RL": lambda: F.SpectroRL(*a, one, sd),
         "RLT": lambda: F.SpectroRLT(*a, one, sd),

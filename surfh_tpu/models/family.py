@@ -169,6 +169,70 @@ class SpectroSnearestT(SpectroST):
     _gridding = "nn"
 
 
+class _MapsCubeMixin:
+    """mapsToCube/cubeTomaps — the reference's fusion demo scripts call these
+    on every family model (e.g. fusion_SCT_simulated.py:47,67)."""
+
+    def mapsToCube(self, maps):
+        return lmm.lmm_maps2cube(
+            jnp.asarray(maps, self.dtype), self.templates.astype(np.float64)
+        )
+
+    def cubeTomaps(self, cube):
+        return lmm.lmm_cube2maps(
+            jnp.asarray(cube, self.dtype), self.templates.astype(np.float64)
+        )
+
+
+class SpectroSCT(_MapsCubeMixin, LinOp):
+    """y = S C T a — LMM, λ-dependent PSF convolution, then gridding onto
+    the rotated local FOV grid (reference SCT_Model.SCT_spectro — module
+    absent from the snapshot; interface pinned by its driver script
+    /root/reference/scripts/fusion/fusion_SCT_simulated.py:11,37)."""
+
+    _gridding = "bilinear"
+
+    def __init__(
+        self,
+        sotf,
+        templates,
+        alpha_axis,
+        beta_axis,
+        wavelength_axis,
+        instr: IFU,
+        step_degree: float,
+        dtype=jnp.float32,
+    ):
+        templates = np.asarray(templates)
+        self.templates = templates
+        self.instr = instr.pix(step_degree)
+        local_a, local_b, plan = _origin_plan(
+            self.instr, alpha_axis, beta_axis, step_degree, self._gridding
+        )
+        self.local_alpha_axis, self.local_beta_axis = local_a, local_b
+        ishape = (templates.shape[0], len(alpha_axis), len(beta_axis))
+        oshape = (len(wavelength_axis), len(local_a), len(local_b))
+        super().__init__(ishape, oshape, dtype)
+        npdt, npct = _npdtypes(dtype)
+        self._tpl = np.asarray(templates, npdt)
+        self._sotf = np.asarray(sotf, npct)
+        idxs, ws = np.asarray(plan.idx), np.asarray(plan.w, npdt)
+        nla, nlb = len(local_a), len(local_b)
+        imshape = (len(alpha_axis), len(beta_axis))
+
+        def fwd(x):
+            cube = lmm.lmm_maps2cube(x, self._tpl)
+            blurred = fft.idft(fft.dft(cube) * self._sotf, imshape)
+            return bilinear.apply_plan(idxs, ws, blurred).reshape(
+                blurred.shape[0], nla, nlb
+            )
+
+        self._fwd = jax.jit(fwd)
+
+    def forward(self, x):
+        return self._fwd(jnp.asarray(x, self.dtype).reshape(self.ishape))
+
+
 class SpectroLT(LinOp):
     """y = L T a — LMM, gridding, then slit extraction
     (reference LT_Model.spectroLT; prototype sandbox_dottest_slicer.py:29-90)."""
@@ -218,6 +282,100 @@ class SpectroLT(LinOp):
                 [
                     local[:, a0 : a0 + sa, b0 : b0 + sb] * wts[s][jnp.newaxis]
                     for s, (a0, b0) in enumerate(zip(a0s, b0s))
+                ]
+            )
+
+        self._fwd = jax.jit(fwd)
+
+    def forward(self, x):
+        return self._fwd(jnp.asarray(x, self.dtype).reshape(self.ishape))
+
+
+class SpectroLST(_MapsCubeMixin, SpectroLT):
+    """y = L S T a — LMM, explicit rotated-FOV gridding, then slit
+    extraction (reference LST_Model.spectroLST — module absent from the
+    snapshot; interface pinned by its driver script
+    /root/reference/scripts/fusion/fusion_LST_simulated.py:11,37, which runs
+    it on a 45°-rotated FOV).
+
+    Compositionally this is the same pipeline as :class:`SpectroLT`; the
+    reference keeps them distinct because its LT harness uses an unrotated
+    full-cube FOV (test_fw_ad.py:226-232 — angle=0, S degenerates to the
+    identity resampling) while LST exercises the rotated gridding."""
+
+    def __init__(
+        self,
+        sotf,
+        templates,
+        alpha_axis,
+        beta_axis,
+        wavelength_axis,
+        instr: IFU,
+        step_degree: float,
+        dtype=jnp.float32,
+    ):
+        super().__init__(
+            sotf, templates, alpha_axis, beta_axis, wavelength_axis,
+            instr, step_degree, dtype=dtype,
+        )
+        self.templates = np.asarray(templates)
+
+
+class SpectroMO_ST(_MapsCubeMixin, LinOp):
+    """y[p] = S_p T a — multi-pointing gridding of the mixed cube, one
+    rotated-local-FOV resampling per dither pointing, no convolution or
+    spectral stage (reference MO_ST_Model.spectroST — module absent from
+    the snapshot; interface pinned by its driver script
+    /root/reference/scripts/fusion/fusion_MO_ST_simulated.py:11,44).
+
+    Per-pointing plans follow the Channel convention (channel.py:176-181):
+    shared local axes from the unshifted FOV, gather points from
+    `(fov + pointing).local2global`."""
+
+    def __init__(
+        self,
+        sotf,
+        templates,
+        alpha_axis,
+        beta_axis,
+        wavelength_axis,
+        instr: IFU,
+        step_degree: float,
+        pointings,
+        dtype=jnp.float32,
+    ):
+        templates = np.asarray(templates)
+        self.templates = templates
+        self.instr = instr.pix(step_degree)
+        self.pointings = CoordList(pointings).pix(step_degree)
+        local_a, local_b = self.instr.fov.local_coords(step_degree, 0.0, 0.0)
+        self.local_alpha_axis, self.local_beta_axis = local_a, local_b
+        npdt, _ = _npdtypes(dtype)
+        plans = []
+        for p in self.pointings:
+            fov = self.instr.fov + p
+            ga, gb = fov.local2global(local_a, local_b)
+            plan = bilinear.bilinear_plan(
+                np.asarray(alpha_axis), np.asarray(beta_axis),
+                bilinear.grid_points(ga, gb),
+            )
+            plans.append((np.asarray(plan.idx), np.asarray(plan.w, npdt)))
+        ishape = (templates.shape[0], len(alpha_axis), len(beta_axis))
+        oshape = (
+            len(self.pointings), len(wavelength_axis), len(local_a), len(local_b)
+        )
+        super().__init__(ishape, oshape, dtype)
+        self._tpl = np.asarray(templates, npdt)
+        nla, nlb = len(local_a), len(local_b)
+
+        def fwd(x):
+            cube = lmm.lmm_maps2cube(x, self._tpl)
+            return jnp.stack(
+                [
+                    bilinear.apply_plan(idx, w, cube).reshape(
+                        cube.shape[0], nla, nlb
+                    )
+                    for idx, w in plans
                 ]
             )
 

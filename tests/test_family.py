@@ -252,6 +252,140 @@ def test_MCMO_SigRLSCT_NN_dottest(fx):
     assert dottest(op, rtol=RTOL)
 
 
+def test_SCT_dottest(fx):
+    op = family.SpectroSCT(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_SCT_matches_staged_composition(fx):
+    """SCT forward == S applied to the (already-tested) CT model's output.
+
+    S is extracted from SpectroST by passing identity templates, so the
+    staging uses the family's own pinned pieces
+    (matches /root/reference/scripts/fusion/fusion_SCT_simulated.py:37)."""
+    n_lam = len(fx["wavelength_axis"])
+    sct = family.SpectroSCT(
+        fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+        fx["wavelength_axis"], _ifu(fx), fx["step_degree"], dtype=jnp.float64,
+    )
+    ct = family.SpectroCT(
+        fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+        fx["wavelength_axis"], dtype=jnp.float64,
+    )
+    s_only = family.SpectroST(
+        fx["sotf"], np.eye(n_lam), fx["alpha_axis"], fx["beta_axis"],
+        fx["wavelength_axis"], _ifu(fx), fx["step_degree"], dtype=jnp.float64,
+    )
+    staged = np.asarray(s_only.forward(ct.forward(fx["maps"])))
+    np.testing.assert_allclose(
+        np.asarray(sct.forward(fx["maps"])), staged, rtol=1e-10, atol=1e-12
+    )
+    cube = sct.mapsToCube(fx["maps"])
+    assert cube.shape == (n_lam,) + tuple(fx["maps"].shape[1:])
+
+
+def test_LST_dottest(fx):
+    op = family.SpectroLST(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+
+
+def test_LST_matches_staged_composition(fx):
+    """LST forward == L∘S applied to the mixed cube (identity-template LT
+    staging; matches fusion_LST_simulated.py:37)."""
+    from surfh_tpu.core import lmm
+
+    n_lam = len(fx["wavelength_axis"])
+    lst = family.SpectroLST(
+        fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+        fx["wavelength_axis"], _ifu(fx), fx["step_degree"], dtype=jnp.float64,
+    )
+    ls_only = family.SpectroLT(
+        fx["sotf"], np.eye(n_lam), fx["alpha_axis"], fx["beta_axis"],
+        fx["wavelength_axis"], _ifu(fx), fx["step_degree"], dtype=jnp.float64,
+    )
+    cube = lmm.lmm_maps2cube(
+        jnp.asarray(fx["maps"], jnp.float64), np.asarray(fx["templates"], np.float64)
+    )
+    staged = np.asarray(ls_only.forward(cube))
+    np.testing.assert_allclose(
+        np.asarray(lst.forward(fx["maps"])), staged, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_MO_ST_dottest(fx):
+    op = family.SpectroMO_ST(
+        fx["sotf"],
+        fx["templates"],
+        fx["alpha_axis"],
+        fx["beta_axis"],
+        fx["wavelength_axis"],
+        _ifu(fx),
+        fx["step_degree"],
+        fx["pointings"][0],
+        dtype=jnp.float64,
+    )
+    assert dottest(op, rtol=RTOL)
+    assert op.oshape[0] == len(fx["pointings"][0])
+
+
+def test_MO_ST_origin_pointing_matches_ST(fx):
+    """MO_ST with the zero dither equals the single-pointing ST model
+    (matches fusion_MO_ST_simulated.py:44 built on ST semantics)."""
+    from surfh_tpu.instrument.geometry import Coord, CoordList
+
+    mo = family.SpectroMO_ST(
+        fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+        fx["wavelength_axis"], _ifu(fx), fx["step_degree"],
+        CoordList([Coord(0.0, 0.0)]), dtype=jnp.float64,
+    )
+    st = family.SpectroST(
+        fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+        fx["wavelength_axis"], _ifu(fx), fx["step_degree"], dtype=jnp.float64,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mo.forward(fx["maps"]))[0],
+        np.asarray(st.forward(fx["maps"])),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_SCT_solve_demo(fx):
+    """The reference's SCT fusion demo flow (fusion_SCT_simulated.py:58-69):
+    simulate y = SCT(maps), run lcg on the quadratic criterion, recover maps."""
+    from surfh_tpu.solvers.criterion import QuadCriterion_MRS
+
+    op = family.SpectroSCT(
+        fx["sotf"], fx["templates"], fx["alpha_axis"], fx["beta_axis"],
+        fx["wavelength_axis"], _ifu(fx), fx["step_degree"], dtype=jnp.float64,
+    )
+    y = op.forward(fx["maps"])
+    crit = QuadCriterion_MRS(1.0, np.asarray(y), op, mu_reg=1e-4)
+    res = crit.run_method("lcg", 60, value_init=0.0)
+    x = np.asarray(res.x)
+    err0 = float(np.linalg.norm(np.asarray(y)))
+    resid = float(np.linalg.norm(np.asarray(op.forward(x)) - np.asarray(y)))
+    assert resid < 0.05 * err0  # data residual collapses
+    assert x.shape == op.ishape
+
+
 def test_shiftConv_matches_gridding_at_origin(fx):
     """shift-conv with zero dither must equal the regridding MO model."""
     from surfh_tpu.instrument.geometry import Coord, CoordList

@@ -452,33 +452,46 @@ def compare_flux(fusion_cube, real_cube, mask, median_size, region, output):
 @click.option("--npix", default=501, show_default=True, help="Output grid size.")
 @click.option("--oversample", default=1, show_default=True)
 @click.option("--n-pupil", default=256, show_default=True, help="Pupil grid samples.")
+@click.option("--opd", type=click.Path(exists=True), default=None,
+              help="Wavefront/OPD map (.fits or .npy) injected as a pupil "
+              "phase screen (the measured-OPD capability of webbpsf).")
+@click.option("--opd-unit", default="m", show_default=True,
+              type=click.Choice(["m", "um", "nm"]), help="OPD map unit.")
 @click.option("--output", "-o", default="psf.npy", show_default=True)
-def gen_psf(wavel_axis, band, pixelscale, npix, oversample, n_pupil, output):
+def gen_psf(wavel_axis, band, pixelscale, npix, oversample, n_pupil, opd,
+            opd_unit, output):
     """Generate a monochromatic JWST diffraction PSF stack (webbpsf-free).
 
     Native physical-optics replacement for the reference's
     `scripts/webbpsf_generation.py` (segmented-pupil matrix Fourier
     transform; see `utils/jwst_psf.py`). Writes [Nλ, npix, npix] float32.
+    `--opd` loads a wavefront map (resampled to the pupil grid) so
+    measured-OPD PSFs match webbpsf's
+    (notebooks/webbpsf_generation.ipynb capability).
     """
     import jax
 
     from .instrument.wavelength_mrs import get_mrs_wavelength
-    from .utils.jwst_psf import psf_stack, psf_stack_device
+    from .utils.jwst_psf import load_opd, psf_stack, psf_stack_device
 
     wavels = (np.load(wavel_axis) if wavel_axis is not None
               else get_mrs_wavelength(band))
+    opd_map = load_opd(opd, n_pupil, unit=opd_unit) if opd else None
     t0 = time.time()
     if jax.default_backend() != "cpu":
         # accelerator: kernels built in-graph, one dispatch per λ-chunk
         stack = psf_stack_device(wavels, pixelscale, npix=npix,
-                                 oversample=oversample, n_pupil=n_pupil)
+                                 oversample=oversample, n_pupil=n_pupil,
+                                 opd=opd_map)
     else:
         stack = psf_stack(wavels, pixelscale, npix=npix, oversample=oversample,
-                          n_pupil=n_pupil)
+                          n_pupil=n_pupil, opd=opd_map)
     np.save(output, stack)
     click.echo(json.dumps({
         "n_lambda": int(stack.shape[0]), "npix": npix,
         "pixelscale": pixelscale, "seconds": round(time.time() - t0, 2),
+        "opd_rms_nm": (round(float(np.sqrt(np.mean(opd_map**2))) * 1e9, 3)
+                       if opd_map is not None else 0.0),
         "output": output,
     }))
 

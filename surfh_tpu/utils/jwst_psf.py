@@ -120,15 +120,120 @@ def _mft_kernels(n_pup: int, diameter: float, npix: int, pixelscale_arcsec: floa
     return np.cos(phase).astype(np.float32), np.sin(phase).astype(np.float32)
 
 
-def _psf_from_kernels(pupil, kc, ks, norm: float):
-    """|K (P) Kᵀ|² with planar complex matmuls (jax or numpy arrays)."""
-    # A = K @ P   (P real)  ->  A_re = kc@P, A_im = ks@P
-    a_re = kc @ pupil
-    a_im = ks @ pupil
+def _psf_from_kernels(pupil, kc, ks, norm: float, pupil_im=None):
+    """|K (P) Kᵀ|² with planar complex matmuls (jax or numpy arrays).
+
+    `pupil` is the real part of the (possibly complex) pupil function;
+    `pupil_im` the imaginary part when a wavefront error is folded in
+    (P = mask·e^{2πi·OPD/λ}).  All complex arithmetic stays planar —
+    complex dtypes never ship through the axon tunnel."""
+    # A = K @ P  ->  A_re = kc@Pr − ks@Pi, A_im = ks@Pr + kc@Pi
+    if pupil_im is None:
+        a_re = kc @ pupil
+        a_im = ks @ pupil
+    else:
+        a_re = kc @ pupil - ks @ pupil_im
+        a_im = ks @ pupil + kc @ pupil_im
     # E = A @ K^T  -> E_re = A_re@kc^T - A_im@ks^T ; E_im = A_re@ks^T + A_im@kc^T
     e_re = a_re @ kc.T - a_im @ ks.T
     e_im = a_re @ ks.T + a_im @ kc.T
     return (e_re * e_re + e_im * e_im) * norm
+
+
+# ---------------------------------------------------------------------------
+# Wavefront error (OPD) support — the capability of webbpsf's measured-OPD
+# files (/root/reference/notebooks/webbpsf_generation.ipynb loads them into
+# the pupil plane); here the map is injected as a pupil phase screen.
+# ---------------------------------------------------------------------------
+
+# (n, m) for Noll indices 1..15 (piston, tilts, defocus, astig, coma,
+# trefoil, spherical, secondary astig, quadrafoil)
+_NOLL_NM = {
+    1: (0, 0), 2: (1, 1), 3: (1, -1), 4: (2, 0), 5: (2, -2), 6: (2, 2),
+    7: (3, -1), 8: (3, 1), 9: (3, -3), 10: (3, 3), 11: (4, 0),
+    12: (4, 2), 13: (4, -2), 14: (4, 4), 15: (4, -4),
+}
+
+
+def _zernike_nm(n: int, m: int, rho: np.ndarray, theta: np.ndarray) -> np.ndarray:
+    """Zernike polynomial Z_n^m on the unit disk (unnormalized, Z ∈ [−1, 1])."""
+    am = abs(m)
+    r = np.zeros_like(rho)
+    for k in range((n - am) // 2 + 1):
+        c = ((-1.0) ** k * math.factorial(n - k)
+             / (math.factorial(k) * math.factorial((n + am) // 2 - k)
+                * math.factorial((n - am) // 2 - k)))
+        r = r + c * rho ** (n - 2 * k)
+    if m > 0:
+        return r * np.cos(am * theta)
+    if m < 0:
+        return r * np.sin(am * theta)
+    return r
+
+
+def zernike_opd(
+    n_pupil: int,
+    coeffs: dict,
+    diameter: float = PUPIL_DIAMETER,
+) -> np.ndarray:
+    """Synthetic OPD map [n_pupil, n_pupil] in METERS from Zernike terms.
+
+    `coeffs` maps Noll index (1..15) → coefficient in meters (the peak
+    amplitude of the unnormalized polynomial over the circumscribed disk).
+    Zero outside the unit disk.  Used to exercise the OPD hook without
+    webbpsf's measured wavefront files (absent from this image)."""
+    ax = (np.arange(n_pupil) - (n_pupil - 1) / 2.0) * (diameter / n_pupil)
+    x, y = np.meshgrid(ax, ax, indexing="xy")
+    rho = np.hypot(x, y) / (diameter / 2.0)
+    theta = np.arctan2(y, x)
+    opd = np.zeros((n_pupil, n_pupil), np.float64)
+    for noll, c in coeffs.items():
+        n, m = _NOLL_NM[int(noll)]
+        opd += float(c) * _zernike_nm(n, m, np.clip(rho, 0.0, 1.0), theta)
+    opd[rho > 1.0] = 0.0
+    return opd
+
+
+def load_opd(path: str, n_pupil: int, unit: str = "m") -> np.ndarray:
+    """Load a wavefront/OPD map (.fits or .npy) and resample it to the
+    pupil grid by bilinear interpolation.  Returns meters.
+
+    The map is assumed to span the full pupil diameter (webbpsf OPD-file
+    convention).  `unit`: m | um | nm."""
+    if path.endswith(".npy"):
+        opd = np.load(path)
+    else:
+        from ..preprocessing.fits_io import fits_open
+
+        hdus = fits_open(path)
+        opd = next(
+            h.data for h in hdus
+            if h.data is not None and np.ndim(h.data) == 2
+        )
+    opd = np.asarray(opd, np.float64)
+    scale = {"m": 1.0, "um": 1e-6, "nm": 1e-9}[unit]
+    opd = opd * scale
+    n_in = opd.shape[0]
+    if opd.shape != (n_pupil, n_pupil):
+        # bilinear resample onto the pupil grid
+        t = np.linspace(0.0, n_in - 1.0, n_pupil)
+        i0 = np.clip(np.floor(t).astype(int), 0, n_in - 2)
+        f = t - i0
+        rows = opd[i0] * (1 - f)[:, None] + opd[i0 + 1] * f[:, None]
+        cols = rows[:, i0] * (1 - f)[None, :] + rows[:, i0 + 1] * f[None, :]
+        opd = cols
+    return opd
+
+
+def _pupil_planes(pupil: np.ndarray, opd_m, lam_m: float):
+    """(Re, Im) of mask·e^{2πi·OPD/λ}; Im is None without an OPD."""
+    if opd_m is None:
+        return pupil, None
+    ph = (2.0 * np.pi / lam_m) * np.asarray(opd_m, np.float64)
+    return (
+        (pupil * np.cos(ph)).astype(np.float32),
+        (pupil * np.sin(ph)).astype(np.float32),
+    )
 
 
 def monochromatic_psf(
@@ -137,12 +242,15 @@ def monochromatic_psf(
     pixelscale_arcsec: float,
     npix: int,
     diameter: float = PUPIL_DIAMETER,
+    opd: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """One diffraction PSF [npix, npix], unit total energy over the full plane.
 
     Normalization: E(θ) = (dx²/λ)·Σ P e^{-2πi x·θ/λ}, psf_pixel = |E|²·dθ²/A
     with A the pupil area — Parseval then gives Σ_infinite psf = 1 (webbpsf
-    'last' convention; a finite fov sums to slightly less).
+    'last' convention; a finite fov sums to slightly less).  A pure-phase
+    OPD screen (`opd`, meters, pupil-grid shape) leaves |P| and hence the
+    total energy unchanged.
     """
     n_pup = pupil.shape[0]
     lam_m = wavelength_um * 1e-6
@@ -151,7 +259,8 @@ def monochromatic_psf(
     dtheta = pixelscale_arcsec * ARCSEC_TO_RAD
     area = float(pupil.sum()) * dx * dx
     norm = (dx * dx / lam_m) ** 2 * dtheta * dtheta / area
-    return np.asarray(_psf_from_kernels(np.asarray(pupil, np.float32), kc, ks, norm))
+    pr, pi = _pupil_planes(np.asarray(pupil, np.float32), opd, lam_m)
+    return np.asarray(_psf_from_kernels(pr, kc, ks, norm, pupil_im=pi))
 
 
 def psf_stack_device(
@@ -162,6 +271,7 @@ def psf_stack_device(
     n_pupil: int = 256,
     diameter: float = PUPIL_DIAMETER,
     chunk: int = 64,
+    opd: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Whole-stack PSF generation on the accelerator, kernels built in-graph.
 
@@ -186,11 +296,20 @@ def psf_stack_device(
     x_host = ((np.arange(n_pupil) - (n_pupil - 1) / 2.0) * dx).astype(np.float32)
     th_host = ((np.arange(fine_n) - (fine_n - 1) / 2.0) * dtheta).astype(np.float32)
 
+    has_opd = opd is not None
+    opd_f32 = np.asarray(opd, np.float32) if has_opd else np.zeros((1, 1), np.float32)
+
     @jax.jit
-    def _chunk(pup, x, theta, lams_m, norms):
+    def _chunk(pup, opd_dev, x, theta, lams_m, norms):
         def one(lam_m, norm):
             phase = (-2.0 * jnp.pi / lam_m) * jnp.outer(theta, x)
-            psf = _psf_from_kernels(pup, jnp.cos(phase), jnp.sin(phase), norm)
+            if has_opd:
+                ph = (2.0 * jnp.pi / lam_m) * opd_dev
+                pr, pi = pup * jnp.cos(ph), pup * jnp.sin(ph)
+            else:
+                pr, pi = pup, None
+            psf = _psf_from_kernels(pr, jnp.cos(phase), jnp.sin(phase), norm,
+                                    pupil_im=pi)
             if oversample > 1:
                 psf = psf.reshape(npix, oversample, npix, oversample).sum(axis=(1, 3))
             return psf
@@ -198,6 +317,7 @@ def psf_stack_device(
         return jax.vmap(one)(lams_m, norms)
 
     pup_dev = jnp.asarray(pupil)
+    opd_dev = jnp.asarray(opd_f32)
     x_dev = jnp.asarray(x_host)
     th_dev = jnp.asarray(th_host)
 
@@ -210,7 +330,7 @@ def psf_stack_device(
         if pad:
             lam_m = np.concatenate([lam_m, np.full(pad, lam_m[-1])])
             norms = np.concatenate([norms, norms[-1:].repeat(pad)])
-        res = _chunk(pup_dev, x_dev, th_dev,
+        res = _chunk(pup_dev, opd_dev, x_dev, th_dev,
                      jnp.asarray(lam_m, jnp.float32), jnp.asarray(norms))
         out[i : i + chunk] = np.asarray(res)[: chunk - pad if pad else chunk]
     return out
@@ -224,6 +344,7 @@ def psf_stack(
     n_pupil: int = 256,
     diameter: float = PUPIL_DIAMETER,
     use_jax: Optional[bool] = None,
+    opd: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Monochromatic PSF stack [Nλ, npix, npix] ≙ webbpsf_generation.py:10-50.
 
@@ -251,9 +372,10 @@ def psf_stack(
         import jax
         import jax.numpy as jnp
 
-        @partial(jax.jit, static_argnames=())
-        def _one(pup, kc, ks, norm):
-            psf = _psf_from_kernels(pup, kc, ks, norm)
+        @partial(jax.jit, static_argnames=("with_im",))
+        def _one(pr, pi, kc, ks, norm, with_im=False):
+            psf = _psf_from_kernels(pr, kc, ks, norm,
+                                    pupil_im=pi if with_im else None)
             if oversample > 1:
                 psf = psf.reshape(npix, oversample, npix, oversample).sum(axis=(1, 3))
             return psf
@@ -268,10 +390,15 @@ def psf_stack(
         lam_m = float(lam_um) * 1e-6
         kc, ks = _mft_kernels(n_pupil, diameter, fine_n, fine_scale, lam_m)
         norm = (dx * dx / lam_m) ** 2 * dtheta * dtheta / area
+        pr, pi = _pupil_planes(pupil, opd, lam_m)
         if use_jax:
-            out[i] = np.asarray(_one(pup_dev, kc, ks, np.float32(norm)))
+            out[i] = np.asarray(_one(
+                jnp.asarray(pr) if opd is not None else pup_dev,
+                jnp.asarray(pi if pi is not None else pr),
+                kc, ks, np.float32(norm), with_im=opd is not None,
+            ))
         else:
-            psf = _psf_from_kernels(pupil, kc, ks, norm)
+            psf = _psf_from_kernels(pr, kc, ks, norm, pupil_im=pi)
             if oversample > 1:
                 psf = psf.reshape(npix, oversample, npix, oversample).sum(axis=(1, 3))
             out[i] = psf

@@ -126,6 +126,87 @@ def test_flagship_setup_diffraction_knob(monkeypatch):
     assert float(ps[0].max()) < 0.5
 
 
+def test_opd_changes_psf_conserves_energy():
+    """Synthetic Zernike OPD (VERDICT r2 item 8): a non-zero wavefront map
+    must change the PSF while a pure phase screen conserves total energy."""
+    n_pup = 128
+    pup = jwst_psf.jwst_pupil(n_pup)
+    # 1.5 µm defocus (Noll 4) + 0.5 µm astigmatism (Noll 6): ~λ/5 of
+    # wavefront error at λ = 8 µm — enough to visibly degrade the core
+    # (400 nm at 8 µm is λ/20 ⇒ Strehl ≈ 0.97, only a 2.6% peak change)
+    opd = jwst_psf.zernike_opd(n_pup, {4: 1.5e-6, 6: 0.5e-6})
+    assert float(np.abs(opd).max()) > 1e-7
+    base = jwst_psf.monochromatic_psf(pup, 8.0, 0.05, 301)
+    aber = jwst_psf.monochromatic_psf(pup, 8.0, 0.05, 301, opd=opd)
+    # the PSF visibly changes (defocus lowers and broadens the core)
+    assert float(np.abs(aber - base).max()) > 0.1 * float(base.max())
+    assert float(aber.max()) < float(base.max())
+    # pure phase screen: energy conserved to the fov-truncation tail
+    assert abs(float(aber.sum()) - float(base.sum())) < 0.02
+    # zero OPD is exactly the baseline path
+    zero = jwst_psf.monochromatic_psf(
+        pup, 8.0, 0.05, 301, opd=np.zeros((n_pup, n_pup))
+    )
+    assert np.allclose(zero, base, rtol=1e-5, atol=1e-12)
+
+
+def test_opd_stack_host_device_agree():
+    """psf_stack and psf_stack_device agree with an OPD screen folded in."""
+    n_pup = 128
+    opd = jwst_psf.zernike_opd(n_pup, {4: 300e-9})
+    wavels = np.array([8.0, 12.0])
+    host = jwst_psf.psf_stack(wavels, 0.05, npix=65, n_pupil=n_pup, opd=opd)
+    dev = jwst_psf.psf_stack_device(wavels, 0.05, npix=65, n_pupil=n_pup,
+                                    chunk=2, opd=opd)
+    assert float(np.abs(dev - host).max() / host.max()) < 2e-3
+    # numpy path too
+    host_np = jwst_psf.psf_stack(wavels, 0.05, npix=65, n_pupil=n_pup,
+                                 opd=opd, use_jax=False)
+    assert np.allclose(host, host_np, rtol=1e-4, atol=1e-9)
+
+
+def test_load_opd_roundtrip(tmp_path):
+    """load_opd reads .npy and FITS maps, converts units, resamples."""
+    from surfh_tpu.preprocessing.fits_io import fits_write
+
+    opd = jwst_psf.zernike_opd(96, {4: 100e-9})
+    p_npy = str(tmp_path / "opd.npy")
+    np.save(p_npy, opd * 1e9)  # store in nm
+    got = jwst_psf.load_opd(p_npy, 96, unit="nm")
+    assert np.allclose(got, opd, atol=1e-15)
+    # FITS roundtrip with resampling 96 → 128
+    p_fits = str(tmp_path / "opd.fits")
+    fits_write(p_fits, (opd * 1e6).astype(np.float64))  # µm
+    got128 = jwst_psf.load_opd(p_fits, 128, unit="um")
+    assert got128.shape == (128, 128)
+    # interior values interpolate smoothly (compare at matched centers)
+    assert abs(got128[64, 64] - opd[48, 48]) < 5e-9
+
+
+def test_gen_psf_cli_opd(tmp_path):
+    """cli gen-psf --opd produces a stack that differs from the ideal one."""
+    from click.testing import CliRunner
+
+    from surfh_tpu.cli import cli
+
+    opd = jwst_psf.zernike_opd(96, {4: 400e-9})
+    p_opd = str(tmp_path / "opd.npy")
+    np.save(p_opd, opd)
+    lam = str(tmp_path / "lam.npy")
+    np.save(lam, np.array([8.0]))
+    out_i = str(tmp_path / "ideal.npy")
+    out_a = str(tmp_path / "aber.npy")
+    r = CliRunner().invoke(cli, [
+        "gen-psf", "-w", lam, "--npix", "65", "--n-pupil", "96", "-o", out_i])
+    assert r.exit_code == 0, r.output
+    r = CliRunner().invoke(cli, [
+        "gen-psf", "-w", lam, "--npix", "65", "--n-pupil", "96",
+        "--opd", p_opd, "-o", out_a])
+    assert r.exit_code == 0, r.output
+    ideal, aber = np.load(out_i), np.load(out_a)
+    assert not np.allclose(ideal, aber, rtol=1e-3)
+
+
 def test_flagship_sotf_cache_keyed_on_psf_family(monkeypatch, tmp_path):
     """The sotf disk cache must not serve one PSF family's OTF to the other
     (ADVICE r2: key previously omitted the family → stale cross-family load)."""

@@ -56,7 +56,8 @@ class ShardedSpectro:
         A 1-D `jax.sharding.Mesh`; its single axis shards the channel list.
     """
 
-    def __init__(self, model, mesh: Mesh, axis_name: Optional[str] = None):
+    def __init__(self, model, mesh: Mesh, axis_name: Optional[str] = None,
+                 shard_tables: bool = False):
         self.model = model
         self.mesh = mesh
         if axis_name is None:
@@ -76,15 +77,33 @@ class ShardedSpectro:
             jax.shard_map(f, mesh=mesh, in_specs=i, out_specs=o, check_vma=False)
         )
         # Flagship (window_local) models pass their tables as shard_map
-        # ARGUMENTS, replicated over the mesh: closed-over tables would be
-        # inlined as HLO constants, which cannot compile at flagship scale
-        # (GB-size programs; see models/spectro.py `window_local`).  Tables
-        # are replicated rather than sharded per channel owner — at the
-        # 12-band flagship they are ~5.5 GB, which fits each v5e chip's HBM
-        # alongside that chip's per-channel temps; compute and temps scale
-        # with devices, tables do not (documented trade-off).
+        # ARGUMENTS: closed-over tables would be inlined as HLO constants,
+        # which cannot compile at flagship scale (GB-size programs; see
+        # models/spectro.py `window_local`).  Two table layouts:
+        # * replicated (default): every device holds all ~5.5 GB of 12-band
+        #   tables — fits a v5e chip's HBM alongside its per-channel temps;
+        #   compute and temps scale with devices, tables do not.
+        # * `shard_tables=True`: each device holds ONLY its own channels'
+        #   tables (padded to the per-slot max shape and stacked on a
+        #   device-sharded leading axis) — per-device table HBM drops from
+        #   Σ_all-channels to Σ_slots max-channel, so it stays bounded as
+        #   bands grow (VERDICT r2 weak #4).  Assembled shard-by-shard with
+        #   `make_array_from_single_device_arrays`; the OTF/rank-fold
+        #   materialization runs once per channel ON ITS OWNER, keeping the
+        #   exact-transpose contract pinned exactly like the replicated path.
         self.window_local = bool(getattr(model, "window_local", False))
-        if self.window_local:
+        self.shard_tables = bool(shard_tables)
+        if shard_tables and not self.window_local:
+            raise ValueError("shard_tables requires a window_local model")
+        if self.window_local and shard_tables:
+            self._tables, tspec = self._build_owner_sharded_tables()
+            self._forward_sm = sm(
+                self._local_forward_packed, (P(), tspec), P(self.axis))
+            self._adjoint_sm = sm(
+                self._local_adjoint_packed, (P(self.axis), tspec), P())
+            self._normal_sm = sm(
+                self._local_normal_packed, (P(), tspec), P())
+        elif self.window_local:
             repl = NamedSharding(mesh, P())
             # Stamp-mode tables ship compact PSF stamps; materialize the OTF
             # windows ON DEVICE once here (replicated) so the shard_map
@@ -111,6 +130,263 @@ class ShardedSpectro:
 
         self.y_sharding = NamedSharding(mesh, P(self.axis))
         self.x_sharding = NamedSharding(mesh, P())
+
+    # ------------------------------------------------------------------
+    # owner-sharded tables (shard_tables=True)
+    def _build_owner_sharded_tables(self):
+        """Pack per-channel tables onto their owner devices.
+
+        Layout: for each slot s, each table leaf (keyed by its pytree path)
+        becomes ONE global array [n_dev, *slot_max_shape] sharded P(axis) —
+        device d's block is its channel `slots[d][s]`'s leaf zero-padded to
+        the slot max (padding is never read: the SPMD branches statically
+        slice back to the true shapes).  Blocks are built per device and
+        assembled with `make_array_from_single_device_arrays`, so no device
+        ever holds another device's tables.  The stamp→OTF and rank-fold
+        materialization (see SpectroSigRLSCT.materialize_otf) runs once per
+        channel on its owner, pinning the tables bit-exactly across the
+        forward/adjoint programs."""
+        import jax.tree_util as jtu
+
+        from ..core import fft as fft_mod
+
+        model = self.model
+        host = model.host_tables()
+        devices = list(self.mesh.devices.flat)
+
+        # 1. materialize each channel's table dict on its owner device
+        chan_tables: List[Optional[dict]] = [None] * self.n_ch
+        for d, dev in enumerate(devices[: self.n_dev]):
+            for c in self.slots[d]:
+                t = dict(host["chan"][c])
+                if "psf" in t:
+                    psf = jax.device_put(t.pop("psf"), dev)
+                    stamp = jax.device_put(t.pop("stamp"), dev)
+                    if "cu" in t:
+                        # rank mode keeps cu (static shapes + the conv path)
+                        t["cu"] = np.asarray(t["cu"])
+                    t["sotf_ri"] = jax.jit(
+                        lambda p, st: jnp.stack(fft_mod.otf_from_stamps(p, st))
+                    )(psf, stamp)
+                    if "cu" in t:
+                        wsl = model.channels[c].wslice
+
+                        def fold(wpsf, tpl, cu, lo=wsl.start, hi=wsl.stop):
+                            tpl_w = jax.lax.slice_in_dim(tpl, lo, hi, axis=1)
+                            cmat = jnp.einsum(
+                                "mw,wr->wmr", tpl_w, cu, precision="highest"
+                            )
+                            cmat = cmat.reshape(cmat.shape[0], -1)
+                            return jnp.einsum(
+                                "kwb,wq->kqb", wpsf, cmat, precision="highest"
+                            )
+
+                        t["wpsf_q"] = jax.jit(fold)(
+                            jax.device_put(t["wpsf"], dev),
+                            jax.device_put(host["tpl"], dev),
+                            jax.device_put(t["cu"], dev),
+                        )
+                    # psf/stamp are consumed by the materialization and NOT
+                    # repacked — exactly like materialize_otf, so the SPMD
+                    # bodies take the pinned-sotf_ri path, never the
+                    # in-graph re-evaluation
+                chan_tables[c] = t
+
+        # 2. flatten each channel dict to (pathkey → leaf); record structure
+        self._chan_leaf_meta: List[Optional[tuple]] = [None] * self.n_ch
+        flat_by_chan: List[Optional[dict]] = [None] * self.n_ch
+        for c, t in enumerate(chan_tables):
+            if t is None:
+                continue
+            leaves_p, treedef = jtu.tree_flatten_with_path(t)
+            meta, flat = [], {}
+            for path, leaf in leaves_p:
+                key = jtu.keystr(path)
+                arr = leaf if hasattr(leaf, "shape") else np.asarray(leaf)
+                meta.append((key, tuple(arr.shape), arr.dtype))
+                flat[key] = arr
+            self._chan_leaf_meta[c] = (treedef, meta)
+            flat_by_chan[c] = flat
+
+        # 3. per slot: pad to the max shape per path, one block per device,
+        #    assemble the device-sharded global array
+        repl = NamedSharding(self.mesh, P())
+        packed_slots = []
+        for s in range(self.per_dev):
+            slot_chans = {
+                d: self.slots[d][s]
+                for d in range(self.n_dev)
+                if s < len(self.slots[d])
+            }
+            paths = sorted(
+                {k for c in slot_chans.values() for k in flat_by_chan[c]}
+            )
+            slot_pack = {}
+            for key in paths:
+                leaves = {
+                    d: flat_by_chan[c][key]
+                    for d, c in slot_chans.items()
+                    if key in flat_by_chan[c]
+                }
+                some = next(iter(leaves.values()))
+                ndim = len(some.shape)
+                dt = some.dtype
+                target = tuple(
+                    max(l.shape[i] for l in leaves.values()) for i in range(ndim)
+                )
+                blocks = []
+                for d, dev in enumerate(devices[: self.n_dev]):
+                    leaf = leaves.get(d)
+                    if leaf is None:
+                        blk = jax.device_put(
+                            np.zeros((1,) + target, dt), dev
+                        )
+                    elif isinstance(leaf, np.ndarray):
+                        pad = [(0, t_ - s_) for t_, s_ in zip(target, leaf.shape)]
+                        blk = jax.device_put(
+                            np.pad(leaf, pad)[np.newaxis], dev
+                        )
+                    else:  # device-resident (materialized on the owner)
+                        pad = [(0, 0)] + [
+                            (0, t_ - s_) for t_, s_ in zip(target, leaf.shape)
+                        ]
+                        blk = jax.jit(
+                            lambda a, pad=tuple(pad): jnp.pad(
+                                a[jnp.newaxis], pad
+                            )
+                        )(leaf)
+                    blocks.append(blk)
+                slot_pack[key] = jax.make_array_from_single_device_arrays(
+                    (self.n_dev,) + target,
+                    NamedSharding(self.mesh, P(self.axis)),
+                    blocks,
+                )
+            packed_slots.append(slot_pack)
+
+        packed = {
+            "tpl": jax.device_put(host["tpl"], repl),
+            "slots": packed_slots,
+        }
+        tspec = {
+            "tpl": P(),
+            "slots": [
+                {k: P(self.axis) for k in sp} for sp in packed_slots
+            ],
+        }
+        return packed, tspec
+
+    def _unpack_chan(self, packed, s: int, c: int):
+        """Rebuild channel c's true-shaped table dict from the local shard."""
+        import jax.tree_util as jtu
+
+        treedef, meta = self._chan_leaf_meta[c]
+        leaves = []
+        for key, shp, _dt in meta:
+            v = packed["slots"][s][key][0]  # local block [1, *target]
+            if tuple(v.shape) != shp:
+                v = jax.lax.slice(v, (0,) * v.ndim, shp)
+            leaves.append(v)
+        return jtu.tree_unflatten(treedef, leaves)
+
+    # SPMD bodies, owner-sharded tables
+    def _local_forward_packed(self, x, packed):
+        model, dt = self.model, self.model.dtype
+
+        def branch(d):
+            def f(x):
+                rows = []
+                for s in range(self.per_dev):
+                    if s < len(self.slots[d]):
+                        c = self.slots[d][s]
+                        t = self._unpack_chan(packed, s, c)
+                        view = {"tpl": packed["tpl"], "chan": {c: t}}
+                        y = model._channel_fwd_tabled(x, c, view).ravel()
+                        rows.append(jnp.pad(y, (0, self.block - y.size)))
+                    else:
+                        rows.append(jnp.zeros((self.block,), dt))
+                return jnp.stack(rows)
+
+            return f
+
+        d = jax.lax.axis_index(self.axis)
+        return jax.lax.switch(d, [branch(i) for i in range(self.n_dev)], x)
+
+    def _local_adjoint_packed(self, y_local, packed):
+        model = self.model
+
+        def branch(d):
+            def f(y_local):
+                acc = jnp.zeros(model.ishape, model.dtype)
+                for s, c in enumerate(self.slots[d]):
+                    osz = int(np.prod(model.instrs_oshape[c]))
+                    yc = y_local[s, :osz].reshape(model.instrs_oshape[c])
+                    t = self._unpack_chan(packed, s, c)
+                    view = {"tpl": packed["tpl"], "chan": {c: t}}
+                    acc = acc + model._channel_adj_tabled(yc, c, view)
+                return acc
+
+            return f
+
+        d = jax.lax.axis_index(self.axis)
+        acc = jax.lax.switch(d, [branch(i) for i in range(self.n_dev)], y_local)
+        return jax.lax.psum(acc, self.axis)
+
+    def _local_normal_packed(self, x, packed):
+        model = self.model
+
+        def branch(d):
+            def f(x):
+                acc = jnp.zeros(model.ishape, model.dtype)
+                for s, c in enumerate(self.slots[d]):
+                    t = self._unpack_chan(packed, s, c)
+                    view = {"tpl": packed["tpl"], "chan": {c: t}}
+                    acc = acc + model._channel_adj_tabled(
+                        model._channel_fwd_tabled(x, c, view), c, view
+                    )
+                return acc
+
+            return f
+
+        d = jax.lax.axis_index(self.axis)
+        acc = jax.lax.switch(d, [branch(i) for i in range(self.n_dev)], x)
+        return jax.lax.psum(acc, self.axis)
+
+    def table_hbm_bytes(self) -> dict:
+        """Per-device table residency accounting (PERF.md HBM table).
+
+        Returns {"per_device": bytes each device holds, "replicated_would_be":
+        bytes the replicated layout would put on EVERY device}."""
+        if not self.window_local:
+            return {"per_device": 0, "replicated_would_be": 0}
+
+        def nbytes(tree):
+            return sum(
+                int(np.prod(l.shape)) * l.dtype.itemsize
+                for l in jax.tree_util.tree_leaves(tree)
+                if hasattr(l, "shape")
+            )
+
+        if self.shard_tables:
+            per_dev = sum(
+                int(np.prod(a.shape[1:])) * a.dtype.itemsize
+                for sp in self._tables["slots"]
+                for a in sp.values()
+            ) + nbytes(self._tables["tpl"])
+            # what the replicated layout would put on EVERY device: the
+            # MATERIALIZED per-channel tables (sotf_ri/wpsf_q included —
+            # their true shapes are recorded in _chan_leaf_meta), not the
+            # compact pre-materialization stamps
+            repl = nbytes(self._tables["tpl"]) + sum(
+                int(np.prod(shp)) * np.dtype(dt).itemsize
+                for m in self._chan_leaf_meta
+                if m is not None
+                for (_k, shp, dt) in m[1]
+            )
+            return {"per_device": per_dev, "replicated_would_be": repl}
+        return {
+            "per_device": nbytes(self._tables),
+            "replicated_would_be": nbytes(self._tables),
+        }
 
     # ------------------------------------------------------------------
     # per-channel pure functions over the *windowed* cube — each device

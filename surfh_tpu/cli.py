@@ -443,6 +443,41 @@ def compare_flux(fusion_cube, real_cube, mask, median_size, region, output):
                           | {"n_lambda": int(fused.shape[0])}))
 
 
+@cli.command()
+@click.option("--work-dir", "-w", default="./surfh_rehearsal", show_default=True,
+              help="Working directory (raw/, Filtered_slices/, out/ created inside).")
+@click.option("--band", "-b", default="4a", show_default=True)
+@click.option("--pointings", default=2, show_default=True)
+@click.option("--npix", "-np", default=101, show_default=True)
+@click.option("--step", default=0.1, show_default=True, help="Grid step (arcsec).")
+@click.option("--lambda-subsample", default=4, show_default=True)
+@click.option("--hyper-parameter", "-hp", "mu", default=1.0, show_default=True)
+@click.option("--niter", "-ni", default=60, show_default=True)
+@click.option("--method", "-m", default="lcg",
+              type=click.Choice(["lcg", "mmmg"]), show_default=True)
+@click.option("--noise-rms", default=0.0, show_default=True,
+              help="Gaussian noise added to the synthetic detector frames.")
+def rehearse(work_dir, band, pointings, npix, step, lambda_subsample, mu,
+             niter, method, noise_rms):
+    """The production real-data flow, chained end-to-end in ONE command:
+
+    synthetic stage-2 cal.fits → distortion correction (Shepard, slit
+    reorder) → median λ-filter → fusion → flux comparison — the rehearsal
+    of /root/reference's correction_mrs_data.py → filter_corrected_mrs_data
+    .py → main_fusion.py → compare_mean_flux chain, with the stage-2 inputs
+    and WCS synthesized (neither real MRS data nor the jwst package exist
+    in this image); everything downstream of the loader is production code.
+    """
+    from .pipeline import run_rehearsal
+
+    rep = run_rehearsal(
+        work_dir, band=band, n_pointings=pointings, npix=npix,
+        step_arcsec=step, lambda_subsample=lambda_subsample, mu=mu,
+        niter=niter, method=method, noise_rms=noise_rms,
+    )
+    click.echo(json.dumps(rep))
+
+
 @cli.command("gen-psf")
 @click.option("--wavel-axis", "-w", type=click.Path(exists=True), default=None,
               help="λ-axis .npy (µm). Defaults to the band's detector table.")

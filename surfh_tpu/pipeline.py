@@ -214,6 +214,181 @@ def run_real_fusion(
     return res, model
 
 
+def run_rehearsal(
+    work_dir: str,
+    band: str = "4a",
+    n_pointings: int = 2,
+    npix: int = 61,
+    step_arcsec: float = 0.1,
+    lambda_subsample: int = 4,
+    n_tpl: int = 2,
+    mu: float = 10.0,
+    niter: int = 30,
+    method: str = "lcg",
+    n_rows: Optional[int] = None,
+    noise_rms: float = 0.0,
+) -> Dict:
+    """The production real-data flow as ONE chained run (VERDICT r2 item 1):
+
+      synthetic stage-2 cal.fits → distortion correction (Shepard, slit
+      reorder) → median λ-filter → corrected-slice FITS → fusion →
+      flux comparison
+
+    mirroring /root/reference/scripts/correction_mrs_data.py:92-199 →
+    filter_corrected_mrs_data.py:34 → main_fusion.py:215-273 →
+    compare_mean_flux_fusion_vs_real_data.py.  The stage-2 inputs and their
+    WCS are synthesized (`simulation.stage2`) since neither real MRS data
+    nor the `jwst` package exist in this image; every stage downstream of
+    the loader is the production code path.
+
+    Returns a report dict with per-stage timings, the fusion residual, and
+    the fused-vs-data mean-flux comparison.
+    """
+    import time as _time
+
+    from .instrument import miri
+    from .preprocessing.correction_driver import (
+        correct_file,
+        corrected_to_fits,
+    )
+    from .preprocessing.distortion import median_filter_slices
+    from .simulation.stage2 import stage2_wcs_loader, write_synthetic_stage2
+    from .utils import metrics
+    from .utils.psf import gaussian_psf
+
+    report: Dict = {"band": band, "n_pointings": n_pointings, "npix": npix}
+    lam_table = get_mrs_wavelength(band)
+    # cube λ axis: the band table subsampled, EXTENDED by the spectral-blur
+    # margin on both ends (the flagship cube axis is the all-band union, so
+    # each band's window has neighbors to blur into; a lone band needs the
+    # margin explicitly or the wpsf support truncates at the table edges)
+    dstep = float(np.median(np.diff(lam_table))) * lambda_subsample
+    margin = np.arange(1, int(np.ceil(0.1 / dstep)) + 1) * dstep
+    wavel_axis = np.concatenate([
+        lam_table[0] - margin[::-1],
+        np.asarray(lam_table[::lambda_subsample], np.float64),
+        lam_table[-1] + margin,
+    ])
+
+    # 1. synthetic stage-2 observations: one file per dither pointing
+    t0 = _time.perf_counter()
+    raw_dir = os.path.join(work_dir, "raw")
+    targ_ra, targ_dec = 83.83, -5.42  # Orion bar, like the reference data
+    dith = np.asarray(miri.dithering)[:n_pointings] / 3600.0
+    # α sampling density of the detector strips ≈ the corrected grid's
+    # per-slit α count, so the Shepard regrid has a sample within its
+    # pixel cutoff of every output cell (like the real detector)
+    from .instrument.geometry import get_srf
+    from .instrument.realmiri import _CHANNEL_SPECS as _SPECS
+
+    _n_slit, det_pix, aw, _bw, _rot = _SPECS[int(band[0])]
+    srf = get_srf([det_pix], step_arcsec)[0]
+    strip_w = int(np.ceil(aw / step_arcsec / srf)) + 1
+    raw_files = []
+    for p in range(n_pointings):
+        path = os.path.join(
+            raw_dir, f"obs1_ch{band}_dither{p + 1}_cal.fits"
+        )
+        write_synthetic_stage2(
+            path, band,
+            targ_ra + float(dith[p][0]), targ_dec + float(dith[p][1]),
+            pa_v3=0.0, n_rows=n_rows, strip_w=strip_w,
+            scene_ra=targ_ra, scene_dec=targ_dec,  # fixed sky, moving FOV
+            noise_rms=noise_rms, seed=p,
+        )
+        raw_files.append(path)
+    report["t_stage2_s"] = round(_time.perf_counter() - t0, 2)
+    report["n_raw_files"] = len(raw_files)
+
+    # 2+3. distortion correction + median λ-filter → Filtered_slices/
+    t0 = _time.perf_counter()
+    filt_dir = os.path.join(work_dir, "Filtered_slices")
+    os.makedirs(filt_dir, exist_ok=True)
+    for p, path in enumerate(raw_files):
+        corrected, ifu, ra, dec = correct_file(
+            path, f"ch{band}", npix, wavel_axis, mode=0,
+            wcs_loader=stage2_wcs_loader, step_arcsec=step_arcsec,
+        )
+        filtered = median_filter_slices(corrected, size=11)
+        corrected_to_fits(
+            os.path.join(filt_dir, f"{band}_dither{p + 1}_corrected.fits"),
+            filtered, ifu, ra, dec,
+        )
+    report["t_correct_s"] = round(_time.perf_counter() - t0, 2)
+
+    # 4. fusion assets: templates learned FROM THE CORRECTED DATA (the
+    # reference's NMF stage learns from the reconstructed data cube,
+    # notebooks/nmf_orion_allband.ipynb): mean data spectrum + a flat
+    # continuum span the LMM's spectral space; λ axis; PSF stack
+    tpl_dir = os.path.join(work_dir, "Templates")
+    os.makedirs(tpl_dir, exist_ok=True)
+    dd0 = load_corrected_data(filt_dir, [band])
+    arr = np.stack(dd0["data"][band])  # [P, S, λ_det, α]
+    with np.errstate(invalid="ignore"):
+        spec_det = np.nanmean(np.where(arr > 0, arr, np.nan), axis=(0, 1, 3))
+    spec_det = np.nan_to_num(spec_det, nan=float(np.nanmedian(spec_det)))
+    spec = np.interp(wavel_axis, np.asarray(lam_table, np.float64), spec_det)
+    spec = spec / max(spec.mean(), 1e-30)
+    templates = np.stack(
+        [spec] + [np.ones_like(spec)] * max(n_tpl - 1, 1)
+    )[:n_tpl]
+    if n_tpl > 2:
+        lam01 = (wavel_axis - wavel_axis[0]) / max(
+            wavel_axis[-1] - wavel_axis[0], 1e-9
+        )
+        for m in range(2, n_tpl):
+            templates[m] = 0.5 + lam01 ** m
+    np.save(os.path.join(tpl_dir, "templates.npy"), templates)
+    np.save(os.path.join(tpl_dir, "wavel_axis.npy"), wavel_axis)
+    psf_dir = os.path.join(work_dir, "PSF")
+    os.makedirs(psf_dir, exist_ok=True)
+    np.save(os.path.join(psf_dir, "psf.npy"),
+            gaussian_psf(wavel_axis, step_arcsec))
+
+    # 5. fusion (the production entry, unmodified)
+    t0 = _time.perf_counter()
+    res, model = run_real_fusion(
+        work_dir, [band], npix=npix, mu=mu, niter=niter, method=method,
+        scale_data=True,  # Jy/sr → Jy: slit β-weight sum × SRF (ref :225-239)
+        output_dir=os.path.join(work_dir, "out"),
+        step_arcsec=step_arcsec,
+    )
+    report["t_fusion_s"] = round(_time.perf_counter() - t0, 2)
+
+    data_dict = load_corrected_data(filt_dir, [band])
+    y = model.real_data_janskySR_to_jansky(
+        assemble_data_vector(model, data_dict, [band])
+    )
+    yhat = np.asarray(model.forward(res.x))
+    mask = np.abs(y) > 0  # Shepard leaves zeros where no sample is in range
+    report["residual_rel"] = float(
+        np.linalg.norm((yhat - y)[mask]) / np.linalg.norm(y[mask])
+    )
+    report["n_iterations"] = int(len(res.grad_norm))
+
+    # 6. flux comparison: fused model cube vs the data re-projected to cube
+    # space (the reference's fused-vs-real mean-flux check)
+    chan = model.channels[0]
+    data_cube = np.asarray(chan.sliceToCube(model.split(y)[0]))  # full axis
+    fused_cube = np.asarray(model.mapsToCube(res.x))
+    flux_fused = metrics.nonzero_mean_per_slice(fused_cube)
+    flux_data = metrics.nonzero_mean_per_slice(data_cube)
+    ok = (flux_data > 0) & (flux_fused > 0)
+    # the dirac re-projection carries different units than the model cube
+    # (no Jy/sr scaling), so compare the CURVE SHAPES: unit-mean normalize,
+    # then the per-λ ratio and the correlation pin the spectral agreement
+    ff = flux_fused[ok] / flux_fused[ok].mean()
+    fd = flux_data[ok] / flux_data[ok].mean()
+    report["flux_ratio_median"] = float(np.median(ff / fd))
+    report["flux_shape_corr"] = float(np.corrcoef(ff, fd)[0, 1])
+    report["flux_points"] = int(ok.sum())
+    out_dir = os.path.join(work_dir, "out")
+    np.savez(os.path.join(out_dir, "flux_compare.npz"),
+             mean_flux_fusion=flux_fused, mean_flux_real=flux_data)
+    report["output_dir"] = out_dir
+    return report
+
+
 def run_allband_simulated(
     npix: int = 61,
     bands: Optional[Sequence[str]] = None,

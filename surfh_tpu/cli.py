@@ -532,6 +532,63 @@ def gen_psf(wavel_axis, band, pixelscale, npix, oversample, n_pupil, opd,
 
 
 @cli.command()
+@click.option("--bands", "-b", default=None,
+              help="Comma-separated band list (default: all 12).")
+@click.option("--cache-dir", default="/tmp/surfh_jax_cache", show_default=True,
+              help="Persistent XLA compile cache to prime.")
+@click.option("--programs", default="fwd,adj", show_default=True,
+              help="Comma-set of programs to compile: fwd,adj,normal.")
+def warmup(bands, cache_dir, programs):
+    """Prime the persistent compile cache for the flagship programs.
+
+    The flagship solve itself takes seconds, but a COLD first run pays the
+    full XLA compile of the forward/adjoint programs (minutes through a
+    remote-compile tunnel).  Running `warmup` once per environment moves
+    that cost out of production runs: later processes load the compiled
+    executables from `cache-dir` in seconds.  Prints per-program compile
+    seconds (cache hits show up as ~0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .simulation.flagship import make_flagship_model
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    report = {"cache_dir": cache_dir, "backend": jax.default_backend()}
+    t0 = time.time()
+    model, setup = make_flagship_model(
+        bands=[b.strip() for b in bands.split(",")] if bands else None,
+    )
+    report["t_build_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    tables = model.device_tables()
+    jax.block_until_ready(jax.tree_util.tree_leaves(tables))
+    report["t_tables_s"] = round(time.time() - t0, 1)
+    app_args = (tables,) if model.window_local else ()
+    fwd_fn = model._forward_fn_tabled if model.window_local else model._forward_fn
+    adj_fn = model._adjoint_fn_tabled if model.window_local else model.adjoint_fn
+
+    want = {p.strip() for p in programs.split(",")}
+    x_spec = jax.ShapeDtypeStruct(model.ishape, jnp.float32)
+    y_spec = jax.ShapeDtypeStruct(model.oshape, jnp.float32)
+    if "fwd" in want:
+        t0 = time.time()
+        jax.jit(fwd_fn).lower(x_spec, *app_args).compile()
+        report["t_compile_fwd_s"] = round(time.time() - t0, 1)
+    if "adj" in want:
+        t0 = time.time()
+        jax.jit(adj_fn).lower(y_spec, *app_args).compile()
+        report["t_compile_adj_s"] = round(time.time() - t0, 1)
+    if "normal" in want and model.window_local:
+        t0 = time.time()
+        jax.jit(model._normal_fn_tabled).lower(x_spec, *app_args).compile()
+        report["t_compile_normal_s"] = round(time.time() - t0, 1)
+    click.echo(json.dumps(report))
+
+
+@cli.command()
 def info():
     """Print device/backend information."""
     import jax

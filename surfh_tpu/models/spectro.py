@@ -15,6 +15,7 @@ Output layout matches the reference: a flat vector concatenating per-channel
 
 from __future__ import annotations
 
+import os
 import warnings
 from math import ceil
 from typing import List, Optional
@@ -229,8 +230,66 @@ class SpectroSigRLSCT(LinOp):
 
     # ------------------------------------------------------------------
     # tables-as-arguments mode (window_local=True)
+    _TABLE_CACHE_VERSION = 1
+
+    def _table_cache_path(self):
+        """Disk-cache path for the built host tables (stamp mode only).
+
+        Building the flagship tables costs ~130 s of single-core host work
+        (per-channel rank SVDs, DFT matrices, composed-plan rebases, host
+        OTF/fold einsums) — the dominant term of a warm start after the
+        compile cache removed recompiles.  The tables are a pure function
+        of the model configuration, so they cache to disk keyed by a hash
+        of every input.  SURFH_TABLE_CACHE=0 disables; a directory value
+        overrides /tmp/surfh_table_cache."""
+        import hashlib
+        import os as _os
+
+        loc = _os.environ.get("SURFH_TABLE_CACHE", "/tmp/surfh_table_cache")
+        if loc == "0" or self.psf_stack is None or self.conv_impl != "matmul":
+            return None
+        h = hashlib.sha1()
+        h.update(str(self._TABLE_CACHE_VERSION).encode())
+        for a in (self.wavelength_axis, self.templates, self.alpha_axis,
+                  self.beta_axis):
+            h.update(b"-" if a is None
+                     else np.ascontiguousarray(a, np.float64).tobytes())
+        h.update(np.ascontiguousarray(self.psf_stack, np.float32).tobytes())
+        for instr, pts in zip(self.instrs, self.pointings):
+            h.update(str((instr.name, instr.n_slit, instr.det_pix_size,
+                          instr.fov.alpha_width, instr.fov.beta_width,
+                          instr.fov.angle, len(instr.wavel_axis))).encode())
+            h.update(np.asarray(
+                [(p.alpha, p.beta) for p in pts], np.float64).tobytes())
+        h.update(str((self.conv_impl, self.conv_freq_rtol,
+                      self.conv_rank_rtol, self.conv_precision,
+                      str(self.dtype), self.step_degree,
+                      _os.environ.get("SURFH_HOST_MATERIALIZE", "1"),
+                      _os.environ.get("SURFH_POINTING_BATCH", ""))).encode())
+        return _os.path.join(loc, f"tables_{h.hexdigest()[:16]}.pkl")
+
     def host_tables(self) -> dict:
         """All large model arrays as one host pytree (see `window_local`)."""
+        import pickle
+
+        cache_path = self._table_cache_path()
+        if cache_path and os.path.exists(cache_path):
+            with open(cache_path, "rb") as fh:
+                out, self.conv_supports = pickle.load(fh)
+            return out
+        out = self._build_host_tables()
+        if cache_path:
+            try:
+                os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+                tmp = cache_path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    pickle.dump((out, self.conv_supports), fh, protocol=4)
+                os.replace(tmp, cache_path)
+            except OSError:
+                pass  # best-effort cache
+        return out
+
+    def _build_host_tables(self) -> dict:
         # Two HBM-driven layout choices, both measured on the v5e:
         # * sotf ships as a stacked (real, imag) float pair — complex64
         #   host->device transfer is UNIMPLEMENTED on the axon tunnel, while
@@ -332,19 +391,51 @@ class SpectroSigRLSCT(LinOp):
                     # than the W λ-planes it replaces
                     rank_on = n_tpl * cu.shape[1] < psf_w.shape[0] // 2
                 if rank_on:
-                    t["psf"] = v_psf
                     t["cu"] = cu
                     supports[-1]["rank"] = int(cu.shape[1])
                     supports[-1]["rank_tail"] = tail
+                    if os.environ.get("SURFH_HOST_MATERIALIZE", "1") != "0":
+                        # rank mode: materialize the R≈13-plane rank-basis
+                        # OTF and the λ-mix-folded wblur table ON THE HOST
+                        # (float64 einsums over a tiny basis).  This removes
+                        # all 24 per-channel materialization jits from the
+                        # startup path — measured 344 s of the 647 s cold
+                        # start was table materialization through the
+                        # remote-compile tunnel — at +~13 MB/channel of
+                        # upload.  Both consumer programs share the one
+                        # host value, so the exact-transpose contract is
+                        # pinned even harder than device materialization.
+                        st = fft.psf_stamp_tables(
+                            self.imshape, v_psf.shape[-2:], np.float64,
+                            ka_max=ka_max, kb_keep=kb_keep,
+                        )
+                        sa = st["sa_re"] + 1j * st["sa_im"]
+                        sb = st["sb_re"] + 1j * st["sb_im"]
+                        z = np.einsum("wxy,cx->wcy", v_psf.astype(np.float64), sa)
+                        otf = np.einsum("wcy,yk->wck", z, sb)
+                        t["sotf_ri"] = np.ascontiguousarray(
+                            np.stack([otf.real, otf.imag]), npdtype
+                        )
+                        tpl_w64 = self.templates[:, chan.wslice].astype(np.float64)
+                        cmat = np.einsum(
+                            "mw,wr->wmr", tpl_w64, cu.astype(np.float64)
+                        ).reshape(tpl_w64.shape[1], -1)
+                        t["wpsf_q"] = np.ascontiguousarray(
+                            np.einsum("kwb,wq->kqb", t["wpsf"].astype(np.float64), cmat),
+                            npdtype,
+                        )
+                    else:
+                        t["psf"] = v_psf
                 else:
                     t["psf"] = psf_w
-                t["stamp"] = fft.psf_stamp_tables(
-                    self.imshape,
-                    t["psf"].shape[-2:],
-                    npdtype,
-                    ka_max=ka_max,
-                    kb_keep=kb_keep,
-                )
+                if "psf" in t:
+                    t["stamp"] = fft.psf_stamp_tables(
+                        self.imshape,
+                        t["psf"].shape[-2:],
+                        npdtype,
+                        ka_max=ka_max,
+                        kb_keep=kb_keep,
+                    )
             else:
                 # axis-0 (planar) stack: the row-major argument layout then
                 # matches the complex-unpack consumer's preferred layout, so

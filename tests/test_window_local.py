@@ -311,3 +311,39 @@ def test_pointing_batch_matches_scanned():
     lhs = float(np.vdot(yb, yr))
     rhs = float(np.vdot(x, a_b))
     assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+def test_host_table_disk_cache(tmp_path, monkeypatch):
+    """host_tables disk cache (cold-start work): bit-identical roundtrip,
+    key sensitivity to config, and SURFH_TABLE_CACHE=0 disables."""
+    import jax.tree_util as jtu
+
+    from surfh_tpu.simulation.synthetic import make_model
+
+    monkeypatch.setenv("SURFH_TABLE_CACHE", str(tmp_path))
+    kw = dict(im_size=31, n_lambda=60, n_tpl=2, n_channels=2, n_pointings=1,
+              n_slit=3, window_local=True, conv_impl="matmul",
+              conv_freq_rtol=1e-6, conv_rank_rtol=1e-7, psf_stamps=True)
+    m1, _ = make_model(**kw)
+    t1 = m1.host_tables()
+    files1 = set(tmp_path.glob("tables_*.pkl"))
+    assert len(files1) == 1
+    m2, _ = make_model(**kw)
+    t2 = m2.host_tables()  # cache hit
+    assert set(tmp_path.glob("tables_*.pkl")) == files1
+    for (p1, l1), (p2, l2) in zip(jtu.tree_flatten_with_path(t1)[0],
+                                  jtu.tree_flatten_with_path(t2)[0]):
+        assert jtu.keystr(p1) == jtu.keystr(p2)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    assert m2.conv_supports == m1.conv_supports
+
+    # a different conv config must key differently
+    kw2 = dict(kw, conv_rank_rtol=0.0)
+    m3, _ = make_model(**kw2)
+    m3.host_tables()
+    assert len(set(tmp_path.glob("tables_*.pkl"))) == 2
+
+    # disabled: no new cache entries
+    monkeypatch.setenv("SURFH_TABLE_CACHE", "0")
+    m4, _ = make_model(**kw)
+    assert m4._table_cache_path() is None

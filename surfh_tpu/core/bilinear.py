@@ -26,6 +26,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from .precision import gemm_precision
 import numpy as np
 
 
@@ -412,7 +414,8 @@ def apply_composed_plan(cidx, cw, patch_flat):
     C, n_out = cidx.shape
     g = jnp.take(patch_flat, cidx.reshape(-1), axis=-1)
     g = g.reshape(patch_flat.shape[:-1] + (C, n_out))
-    return jnp.einsum("...cp,cp->...p", g, cw)
+    return jnp.einsum("...cp,cp->...p", g, cw,
+                      precision=gemm_precision())
 
 
 def apply_composed_plan_t(csrc, cw, cdst, values, patch_pixels: int):

@@ -19,6 +19,8 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+
+from .precision import gemm_precision
 import numpy as np
 
 
@@ -74,7 +76,8 @@ def apply_hessian_freq(hess, di: int, dj: int, shape_target, x_freq):
     x_freq: [S, H, W] full-spectrum maps; returns [S, H, W] full-spectrum.
     """
     part = partition(x_freq, di, dj)
-    out = jnp.einsum("abijhw,bjhw->aihw", hess, part)
+    out = jnp.einsum("abijhw,bjhw->aihw", hess, part,
+                     precision=gemm_precision())
     return unpartition(out, shape_target, di, dj)
 
 

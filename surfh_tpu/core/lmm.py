@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .precision import gemm_precision
+
 
 @jax.jit
 def lmm_maps2cube(maps, templates):
@@ -20,7 +22,8 @@ def lmm_maps2cube(maps, templates):
     """
     m, na, nb = maps.shape
     flat = maps.reshape(m, na * nb)
-    cube = jnp.matmul(templates.T, flat, preferred_element_type=flat.dtype)
+    cube = jnp.matmul(templates.T, flat, preferred_element_type=flat.dtype,
+                      precision=gemm_precision())
     return cube.reshape(templates.shape[1], na, nb)
 
 
@@ -29,5 +32,6 @@ def lmm_cube2maps(cube, templates):
     """maps[m, i, j] = Σ_λ cube[λ, i, j] · templates[m, λ] (exact adjoint)."""
     l, na, nb = cube.shape
     flat = cube.reshape(l, na * nb)
-    maps = jnp.matmul(templates, flat, preferred_element_type=flat.dtype)
+    maps = jnp.matmul(templates, flat, preferred_element_type=flat.dtype,
+                      precision=gemm_precision())
     return maps.reshape(templates.shape[0], na, nb)

@@ -19,17 +19,23 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .precision import gemm_precision
+
 
 @jax.jit
 def wblur(arr, wpsf):
     """[λ', α, β] = Σ_λ arr[λ, α, β] · wpsf[λ', λ, β]."""
-    return jnp.einsum("lab,klb->kab", arr, wpsf, preferred_element_type=arr.dtype)
+    return jnp.einsum("lab,klb->kab", arr, wpsf,
+                      preferred_element_type=arr.dtype,
+                      precision=gemm_precision())
 
 
 @jax.jit
 def wblur_t(arr, wpsf):
     """Adjoint: [λ, α, β] = Σ_λ' arr[λ', α, β] · wpsf[λ', λ, β]."""
-    return jnp.einsum("kab,klb->lab", arr, wpsf, preferred_element_type=arr.dtype)
+    return jnp.einsum("kab,klb->lab", arr, wpsf,
+                      preferred_element_type=arr.dtype,
+                      precision=gemm_precision())
 
 
 @jax.jit
@@ -44,7 +50,8 @@ def wblur_sum_beta(arr, wpsf):
     k = wpsf.shape[0]
     lhs = wpsf.transpose(0, 1, 2).reshape(k, l * b)          # [λ', λ·β]
     rhs = arr.transpose(0, 2, 1).reshape(l * b, a)           # [λ·β, α]
-    return jnp.matmul(lhs, rhs, preferred_element_type=arr.dtype)
+    return jnp.matmul(lhs, rhs, preferred_element_type=arr.dtype,
+                      precision=gemm_precision())
 
 
 @jax.jit
@@ -59,7 +66,8 @@ def wblur_sum_beta_batched(arr, wpsf):
     k = wpsf.shape[0]
     lhs = wpsf.reshape(k, l * b)
     rhs = arr.transpose(1, 3, 0, 2).reshape(l * b, s * a)
-    out = jnp.matmul(lhs, rhs, preferred_element_type=arr.dtype)
+    out = jnp.matmul(lhs, rhs, preferred_element_type=arr.dtype,
+                     precision=gemm_precision())
     return out.reshape(k, s, a).transpose(1, 0, 2)
 
 
@@ -73,7 +81,8 @@ def wblur_sum_beta_pointings(arr, wpsf):
     k = wpsf.shape[0]
     lhs = wpsf.reshape(k, l * b)
     rhs = arr.transpose(0, 4, 1, 2, 3).reshape(l * b, p * s * a)
-    out = jnp.matmul(lhs, rhs, preferred_element_type=arr.dtype)
+    out = jnp.matmul(lhs, rhs, preferred_element_type=arr.dtype,
+                     precision=gemm_precision())
     return out.reshape(k, p, s, a).transpose(1, 2, 0, 3)
 
 

@@ -113,6 +113,7 @@ def _banded_kernel(starts_ref, arr_ref, w_ref, out_ref, scratch, sem):
         x2d,
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -235,6 +236,7 @@ def _banded_kernel_2d(starts_ref, arr_ref, w_ref, out_ref, scratch, sem):
         scratch[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

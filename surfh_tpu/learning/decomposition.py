@@ -33,7 +33,10 @@ def _nmf_run(X, W0, H0, n_components: int, n_iter: int):
         W = W * (X @ H.T) / (W @ (H @ H.T) + eps)
         return W, H
 
-    return jax.lax.fori_loop(0, n_iter, body, (W0, H0))
+    # full-f32 MXU passes: bf16 default-precision updates stall the
+    # multiplicative descent near the fixed point (core/precision.py)
+    with jax.default_matmul_precision("highest"):
+        return jax.lax.fori_loop(0, n_iter, body, (W0, H0))
 
 
 def nmf(
@@ -115,9 +118,10 @@ def nfindr(pixels: np.ndarray, n_endmembers: int, n_sweeps: int = 3, seed: int =
 @partial(jax.jit, static_argnames=("n_iter",))
 def _fcls_run(E, X, n_iter: int):
     k = E.shape[0]
-    G = E @ E.T  # [k, k]
-    lip = jnp.linalg.norm(G, ord=2)
-    B = E @ X.T  # [k, n]
+    with jax.default_matmul_precision("highest"):
+        G = E @ E.T  # [k, k]
+        lip = jnp.linalg.norm(G, ord=2)
+        B = E @ X.T  # [k, n]
     A = jnp.full((k, X.shape[0]), 1.0 / k, X.dtype)
 
     def project_simplex(a):
@@ -134,7 +138,8 @@ def _fcls_run(E, X, n_iter: int):
         grad = G @ A - B
         return project_simplex(A - grad / lip)
 
-    return jax.lax.fori_loop(0, n_iter, body, A)
+    with jax.default_matmul_precision("highest"):
+        return jax.lax.fori_loop(0, n_iter, body, A)
 
 
 def fcls(pixels, endmembers, n_iter: int = 200) -> np.ndarray:

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import bilinear, fft, linop, numpy_ref, wblur
+from ..core.precision import gemm_precision
 from ..instrument.geometry import Coord, CoordList
 from ..instrument.ifu import IFU
 from .slicer import Slicer
@@ -900,6 +901,7 @@ class Channel:
             win_t = jax.lax.dot_general(
                 y2d, wp2d, (((1,), (0,)), ((), ())),
                 preferred_element_type=y.dtype,
+                precision=gemm_precision(),
             ).reshape(n_pt, S, n_aout, W, sb).transpose(0, 1, 3, 2, 4)
             win_t = win_t * slit_w[None, :, None, :, :]
             vals = jnp.transpose(win_t, (2, 0, 1, 3, 4)).reshape(W, -1)
@@ -926,6 +928,7 @@ class Channel:
                 win_t = jax.lax.dot_general(
                     y2d, wp2d, (((1,), (0,)), ((), ())),
                     preferred_element_type=yp.dtype,
+                    precision=gemm_precision(),
                 ).reshape(S, n_aout, W, sb)
                 win_t = jnp.transpose(win_t, (0, 2, 1, 3))
             win_t = win_t * slit_w[:, jnp.newaxis, :, :]

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import blockfourier as bf
+from ..core.precision import gemm_precision
 from ..core.fft import ir2fr
 from ..core.linop import LinOp
 
@@ -114,7 +115,8 @@ class Model_WCT(LinOp):
 
         def fwd(x):
             xf = jnp.fft.rfftn(x, axes=(-2, -1), norm="ortho")
-            yf = jnp.einsum("slhw,shw->lhw", self._H_r, xf)
+            yf = jnp.einsum("slhw,shw->lhw", self._H_r, xf,
+                            precision=gemm_precision())
             cube = jnp.fft.irfftn(yf, s=self.shape_target, axes=(-2, -1), norm="ortho")
             return cube[:, :: self.di, :: self.dj]
 
@@ -164,9 +166,11 @@ class MixingST(LinOp):
         self.TST = np.einsum("lij,ml,nl->mnij", S, self._tpl, self._tpl)
 
         self._fwd = jax.jit(
-            lambda m: self._S * jnp.einsum("ml,mij->lij", self._tpl, m)
+            lambda m: self._S * jnp.einsum("ml,mij->lij", self._tpl, m,
+                                           precision=gemm_precision())
         )
-        self._fwadj = jax.jit(lambda m: jnp.einsum("mnij,nij->mij", self.TST, m))
+        self._fwadj = jax.jit(lambda m: jnp.einsum(
+            "mnij,nij->mij", self.TST, m, precision=gemm_precision()))
 
     def forward(self, x):
         return self._fwd(jnp.asarray(x, self.dtype).reshape(self.ishape))

@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import bilinear, fft
+from ..core.precision import gemm_precision
 
 
 class LambdaShardedChannel:
@@ -111,7 +112,8 @@ class LambdaShardedChannel:
                 planes = jax.lax.slice_in_dim(shard, s0, s0 + n, axis=0)
                 windows = self._pipeline_to_windows(planes)
                 wcols = chan._wpsf_dev[:, c0 : c0 + n, :]  # [K, n, B]
-                return jnp.einsum("pslab,klb->pska", windows, wcols.astype(dt))
+                return jnp.einsum("pslab,klb->pska", windows, wcols.astype(dt),
+                                  precision=gemm_precision())
 
             return f
 
@@ -158,6 +160,7 @@ class LambdaShardedChannel:
             win_t = jax.lax.dot_general(
                 y2d, wcols.reshape(K, n * sb), (((1,), (0,)), ((), ())),
                 preferred_element_type=y.dtype,
+                precision=gemm_precision(),
             ).reshape(S, n_aout, n, sb)
             win_t = jnp.transpose(win_t, (0, 2, 1, 3))
             win_t = win_t * chan.slit_weights_sub[:, jnp.newaxis, :, :]

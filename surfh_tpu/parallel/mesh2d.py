@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import bilinear, fft, lmm
+from ..core.precision import gemm_precision
 
 
 def make_mesh_2d(n_chan: int, n_lam: int, axis_names=("chan", "lam")) -> Mesh:
@@ -110,7 +111,8 @@ class ShardedSpectro2D:
                     ]
                 )
             windows = windows * chan.slit_weights_sub[:, jnp.newaxis, :, :]
-            outs.append(jnp.einsum("slab,klb->ska", windows, wcols.astype(x.dtype)))
+            outs.append(jnp.einsum("slab,klb->ska", windows, wcols.astype(x.dtype),
+                                   precision=gemm_precision()))
         return jnp.stack(outs)
 
     def _local_forward(self, x):
@@ -209,6 +211,7 @@ class ShardedSpectro2D:
             win_t = jax.lax.dot_general(
                 y2d, wcols.reshape(K, n * sb), (((1,), (0,)), ((), ())),
                 preferred_element_type=y.dtype,
+                precision=gemm_precision(),
             ).reshape(S, n_aout, n, sb)
             win_t = jnp.transpose(win_t, (0, 2, 1, 3))
             win_t = win_t * chan.slit_weights_sub[:, jnp.newaxis, :, :]

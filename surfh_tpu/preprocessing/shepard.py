@@ -145,7 +145,7 @@ def exponential_modified_shepard(
         w = jnp.where(
             dist <= pixel_cutoff, jnp.exp(-alpha * dist**p), 0.0
         )
-        num = w @ vals
+        num = jnp.matmul(w, vals, precision="highest")
         den = jnp.sum(w, axis=1)
         return jnp.where(den != 0, num / jnp.where(den != 0, den, 1.0), 0.0)
 

@@ -56,7 +56,7 @@ def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str, fresh: bool, n_args:
             r0 = b - normal_op(x0, *op_args)
             z0 = prec(r0)
             p0 = z0
-            rz0 = jnp.vdot(r0, z0).real
+            rz0 = jnp.vdot(r0, z0, precision="highest").real
         else:  # init is a full CG state (exact resume, conjugacy preserved)
             x0, r0, z0, p0, rz0 = init
         gnorm0 = jnp.linalg.norm(r0.ravel())
@@ -72,11 +72,11 @@ def _lcg_compiled(normal_op, M, max_iter, shape, dtype_str, fresh: bool, n_args:
         def body(state):
             x, r, z, p, rz, it, norms = state
             qp = normal_op(p, *op_args)
-            alpha = rz / jnp.vdot(p, qp).real
+            alpha = rz / jnp.vdot(p, qp, precision="highest").real
             x = x + alpha * p
             r = r - alpha * qp
             z = prec(r)
-            rz_new = jnp.vdot(r, z).real
+            rz_new = jnp.vdot(r, z, precision="highest").real
             beta = rz_new / rz
             p = z + beta * p
             norms = norms.at[it].set(jnp.linalg.norm(r.ravel()))
@@ -107,11 +107,11 @@ def _lcg_step_compiled(normal_op, M, shape, dtype_str, n_args, chain_steps=1):
 
     def one_step(x, r, z, p, rz, *op_args):
         qp = normal_op(p, *op_args)
-        alpha = rz / jnp.vdot(p, qp).real
+        alpha = rz / jnp.vdot(p, qp, precision="highest").real
         x = x + alpha * p
         r = r - alpha * qp
         z = prec(r)
-        rz_new = jnp.vdot(r, z).real
+        rz_new = jnp.vdot(r, z, precision="highest").real
         beta = rz_new / rz
         p = z + beta * p
         rnorm = jnp.linalg.norm(r.ravel()).astype(jnp.float32)
@@ -129,7 +129,7 @@ def _lcg_step_compiled(normal_op, M, shape, dtype_str, n_args, chain_steps=1):
     def init_state(x0, b, *op_args):
         r0 = b - normal_op(x0, *op_args)
         z0 = prec(r0)
-        rz0 = jnp.vdot(r0, z0).real
+        rz0 = jnp.vdot(r0, z0, precision="highest").real
         return (
             x0, r0, z0, z0, rz0,
             jnp.linalg.norm(r0.ravel()).astype(jnp.float32),
@@ -281,11 +281,11 @@ def _mmmg_body(normal_op, x, g, d_prev, q_prev, *op_args):
     q0 = normal_op(d0, *op_args)
     q1 = q_prev
     # minimize J(x + a·d0 + c·d_prev): solve the 2×2 Gram system
-    a00 = jnp.vdot(d0, q0).real
-    a01 = jnp.vdot(d0, q1).real
-    a11 = jnp.vdot(d_prev, q1).real
-    g0d = jnp.vdot(g, d0).real
-    g1d = jnp.vdot(g, d_prev).real
+    a00 = jnp.vdot(d0, q0, precision="highest").real
+    a01 = jnp.vdot(d0, q1, precision="highest").real
+    a11 = jnp.vdot(d_prev, q1, precision="highest").real
+    g0d = jnp.vdot(g, d0, precision="highest").real
+    g1d = jnp.vdot(g, d_prev, precision="highest").real
     det = a00 * a11 - a01 * a01
     safe = jnp.abs(det) > 1e-30
     a = jnp.where(safe, (-g0d * a11 + g1d * a01) / jnp.where(safe, det, 1.0), -g0d / a00)
@@ -314,7 +314,7 @@ def _mmmg_dispatch(normal_op, b, x0, max_iter, tol, op_args,
         def init_state(x0, b, *op_args):
             g0 = normal_op(x0, *op_args) - b
             q0 = normal_op(-g0, *op_args)
-            alpha = jnp.vdot(g0, g0).real / jnp.vdot(-g0, q0).real
+            alpha = jnp.vdot(g0, g0, precision="highest").real / jnp.vdot(-g0, q0, precision="highest").real
             x1 = x0 + alpha * (-g0)
             g1 = g0 + alpha * q0
             return (
@@ -413,7 +413,7 @@ def mmmg(
 
         # first iteration: steepest descent (no memory direction yet)
         q0 = normal_op(-g0, *op_args)
-        alpha = jnp.vdot(g0, g0).real / jnp.vdot(-g0, q0).real
+        alpha = jnp.vdot(g0, g0, precision="highest").real / jnp.vdot(-g0, q0, precision="highest").real
         x1 = x0 + alpha * (-g0)
         g1 = g0 + alpha * q0
         norms = norms.at[0].set(jnp.linalg.norm(g1.ravel()))

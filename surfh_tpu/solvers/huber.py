@@ -93,15 +93,15 @@ def mmmg_huber(
     def quad_entries(x, d0, h0, d1, h1):
         """Majorant Gram entries over {d0, d1}; data parts from the carried
         H-images."""
-        a00 = jnp.vdot(h0, h0).real
-        a01 = jnp.vdot(h0, h1).real
-        a11 = jnp.vdot(h1, h1).real
+        a00 = jnp.vdot(h0, h0, precision="highest").real
+        a01 = jnp.vdot(h0, h1, precision="highest").real
+        a11 = jnp.vdot(h1, h1, precision="highest").real
         for D, Dt, delta, mu in priors:
             w = huber_weight(D(x), delta)
             dd0, dd1 = D(d0), D(d1)
-            a00 = a00 + mu * jnp.vdot(w * dd0, dd0).real
-            a01 = a01 + mu * jnp.vdot(w * dd0, dd1).real
-            a11 = a11 + mu * jnp.vdot(w * dd1, dd1).real
+            a00 = a00 + mu * jnp.vdot(w * dd0, dd0, precision="highest").real
+            a01 = a01 + mu * jnp.vdot(w * dd0, dd1, precision="highest").real
+            a11 = a11 + mu * jnp.vdot(w * dd1, dd1, precision="highest").real
         return a00, a01, a11
 
     def init(x0):
@@ -110,7 +110,7 @@ def mmmg_huber(
         h0 = data_fwd(-g0)
         # first step: steepest descent on the majorant
         a00, _, _ = quad_entries(x0, -g0, h0, -g0, h0)
-        alpha = jnp.vdot(g0, g0).real / jnp.maximum(a00, 1e-30)
+        alpha = jnp.vdot(g0, g0, precision="highest").real / jnp.maximum(a00, 1e-30)
         x1 = x0 - alpha * g0
         # h0 = H·(−g0) and x1 = x0 + α·(−g0), so H·x1 = H·x0 + α·h0
         hx1 = hx0 + alpha * h0
@@ -123,8 +123,8 @@ def mmmg_huber(
         d1 = x - x_prev
         h1 = hx - hx_prev
         a00, a01, a11 = quad_entries(x, d0, h0, d1, h1)
-        b0 = -jnp.vdot(g, d0).real
-        b1 = -jnp.vdot(g, d1).real
+        b0 = -jnp.vdot(g, d0, precision="highest").real
+        b1 = -jnp.vdot(g, d1, precision="highest").real
         det = a00 * a11 - a01 * a01
         safe = jnp.abs(det) > 1e-30
         s = jnp.where(safe, (b0 * a11 - b1 * a01) / jnp.where(safe, det, 1.0), b0 / jnp.maximum(a00, 1e-30))

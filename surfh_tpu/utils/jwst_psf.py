@@ -127,16 +127,26 @@ def _psf_from_kernels(pupil, kc, ks, norm: float, pupil_im=None):
     `pupil_im` the imaginary part when a wavefront error is folded in
     (P = mask·e^{2πi·OPD/λ}).  All complex arithmetic stays planar —
     complex dtypes never ship through the axon tunnel."""
+    if isinstance(pupil, np.ndarray):
+        mm = np.matmul
+    else:
+        import jax.numpy as jnp
+
+        # f32 PSF fidelity: default TPU matmul precision is one bf16 pass
+        # (see core/precision.py) — pin full f32 for the propagation
+        def mm(a, b):
+            return jnp.matmul(a, b, precision="highest")
+
     # A = K @ P  ->  A_re = kc@Pr − ks@Pi, A_im = ks@Pr + kc@Pi
     if pupil_im is None:
-        a_re = kc @ pupil
-        a_im = ks @ pupil
+        a_re = mm(kc, pupil)
+        a_im = mm(ks, pupil)
     else:
-        a_re = kc @ pupil - ks @ pupil_im
-        a_im = ks @ pupil + kc @ pupil_im
+        a_re = mm(kc, pupil) - mm(ks, pupil_im)
+        a_im = mm(ks, pupil) + mm(kc, pupil_im)
     # E = A @ K^T  -> E_re = A_re@kc^T - A_im@ks^T ; E_im = A_re@ks^T + A_im@kc^T
-    e_re = a_re @ kc.T - a_im @ ks.T
-    e_im = a_re @ ks.T + a_im @ kc.T
+    e_re = mm(a_re, kc.T) - mm(a_im, ks.T)
+    e_im = mm(a_re, ks.T) + mm(a_im, kc.T)
     return (e_re * e_re + e_im * e_im) * norm
 
 

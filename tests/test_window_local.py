@@ -225,7 +225,13 @@ def test_conv_rank_mode_matches_dense():
 
     x = np.asarray(setup["maps"], np.float64)
     yb, yr = np.asarray(base.forward(x)), np.asarray(rank.forward(x))
-    bound = max(max(tails) * 50, 1e-13)
+    # measured amplification of the SVD tail through the pipeline: 2.1x fwd
+    # / 1.1x adj at this fixture (stable across rtol 1e-9..1e-5), 7.2x at
+    # flagship scale in f64 (PERF.md "λ-rank fidelity at flagship scale") —
+    # bound at 10x the recorded tail (≈5x slack over the fixture constant,
+    # no 50x fudge).  In f32 the rank error is invisible below the
+    # pipeline's own f32 rounding floor (same PERF.md section).
+    bound = max(max(tails) * 10, 1e-13)
     assert np.abs(yr - yb).max() <= bound * np.abs(yb).max()
 
     rng = np.random.default_rng(3)

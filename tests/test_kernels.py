@@ -453,3 +453,30 @@ def test_lowrank_stamp_factor_bound():
     assert t0 == 0.0 or t0 < 1e-14
     u1, v1, _ = fft.lowrank_stamp_factor(psf, 1.0)
     assert v1.shape[0] == 1
+
+
+def test_gemm_precision_policy():
+    """core/precision.py contract: default is full-f32 ("highest"),
+    SURFH_GEMM_PRECISION overrides at trace time, invalid values are loud.
+    The policy is read by every accuracy-relevant contraction (wblur, lmm,
+    solver vdots, ...) because TPU f32 matmuls default to one bf16 MXU pass
+    (PERF.md "bf16 default-precision fix")."""
+    import os
+
+    import pytest
+
+    from surfh_tpu.core.precision import gemm_precision
+
+    old = os.environ.pop("SURFH_GEMM_PRECISION", None)
+    try:
+        assert gemm_precision() == "highest"
+        os.environ["SURFH_GEMM_PRECISION"] = "high"
+        assert gemm_precision() == "high"
+        os.environ["SURFH_GEMM_PRECISION"] = "bogus"
+        with pytest.raises(ValueError):
+            gemm_precision()
+    finally:
+        if old is None:
+            os.environ.pop("SURFH_GEMM_PRECISION", None)
+        else:
+            os.environ["SURFH_GEMM_PRECISION"] = old

@@ -96,17 +96,26 @@ def main():
         solver_chain=args.chain,
     )
     dt = time.time() - t0
+    gn = np.asarray(res.grad_norm, np.float64)
+    marks = [i for i in (0, 10, 32, 100, 200, 500, 1000, 2000) if i < len(gn)]
     report.update(
         method=args.method,
+        mu=args.mu,
         niter=int(res.n_iter),
         solve_s=round(dt, 2),
         iters_per_s=round(res.n_iter / dt, 2),
-        grad_norm_final=float(res.grad_norm[-1]),
+        grad_norm_final=float(gn[-1]),
+        # convergence curve checkpoints (grad-norm at iteration i, and the
+        # total reduction factor) — the µ=5e8 float32 conditioning evidence
+        grad_norm_marks={str(i): float(gn[i]) for i in marks},
+        grad_reduction=float(gn[0] / gn[-1]) if gn[-1] > 0 else float("inf"),
         relative_error_pct=metrics.relative_error(truth, res.x),
         psnr_maps=metrics.psnr(truth, res.x),
         n_channels=len(model.channels),
         cube_shape=list(model.cube_shape),
     )
+    if os.environ.get("SURFH_CG_HISTORY"):
+        np.save(os.environ["SURFH_CG_HISTORY"], gn)
     print(json.dumps(report), flush=True)
 
 

@@ -449,6 +449,76 @@ def apply_composed_plan_layered_t(linv, layers, values):
     return jnp.take(accz, linv, axis=0).T
 
 
+def bucket_layers(sizes, frac: float = 0.5):
+    """Group prefix-ordered layer indices into padding-efficient buckets.
+
+    `sizes` are the layer lengths T_0 ≥ T_1 ≥ … of a layered-prefix
+    transpose plan; a new bucket starts whenever a layer is smaller than
+    `frac` of its bucket's head layer.  Within a bucket every layer pads to
+    the head size, so the padding waste stays < 1/frac while the number of
+    accumulator passes drops from L to the bucket count (≈3 at flagship
+    scale vs L=7)."""
+    buckets, cur = [], [0]
+    for i in range(1, len(sizes)):
+        if sizes[i] < frac * sizes[cur[0]]:
+            buckets.append(cur)
+            cur = [i]
+        else:
+            cur.append(i)
+    buckets.append(cur)
+    return buckets
+
+
+def rows_from_layers(layers, dtype, frac: float = 0.5):
+    """Re-spell a layered-prefix transpose plan in bucketed ROW form.
+
+    The layered spelling updates a [T_0, W] accumulator once per layer
+    (L sequential prefix adds — XLA copies the buffer per update, the
+    dominant HBM term of the flagship adjoint; PERF.md roofline).  But row
+    i of the accumulator is simply ``Σ_l vt[src_l[i]] · w_l[i]`` over the
+    layers that reach it — a fixed-fan-in gather-weighted-sum, the same
+    shape as the FORWARD composed gather.  This packs the layers into a few
+    padded buckets [(SRC [Lg, Tg], WGT [Lg, Tg]), …] (padding: src 0 /
+    weight 0, adds nothing) consumed by one fused take+einsum per bucket.
+    """
+    sizes = [np.asarray(s).shape[0] for s, _ in layers]
+    out = []
+    for grp in bucket_layers(sizes, frac):
+        tg = sizes[grp[0]]
+        src_g = np.zeros((len(grp), tg), np.asarray(layers[0][0]).dtype)
+        wgt_g = np.zeros((len(grp), tg), dtype)
+        for j, l in enumerate(grp):
+            s, w = layers[l]
+            src_g[j, : s.shape[0]] = s
+            wgt_g[j, : w.shape[0]] = w
+        out.append((src_g, wgt_g))
+    return out
+
+
+def apply_composed_plan_rows_t(linv, buckets, values):
+    """Bucketed-row exact transpose: values [W, n_out] → patch [W, P].
+
+    Same linear map (and per-destination tap set) as
+    :func:`apply_composed_plan_layered_t`, spelled as one fused
+    take+einsum per BUCKET instead of one prefix add per layer — the
+    accumulator is written ≈3 times instead of L, cutting the adjoint's
+    HBM traffic (PERF.md "per-stage HBM roofline").  Only the in-bucket
+    reduction order differs (≤1e-15-class in f64)."""
+    w_dim = values.shape[0]
+    vt = values.T  # [n_out, W]
+    t0 = buckets[0][0].shape[1]
+    acc = jnp.zeros((t0, w_dim), values.dtype)
+    for src_g, wgt_g in buckets:
+        g = jnp.take(vt, src_g.reshape(-1), axis=0)
+        g = g.reshape(src_g.shape + (w_dim,))
+        part = jnp.einsum(
+            "ltw,lt->tw", g, wgt_g, precision=gemm_precision()
+        )
+        acc = acc.at[: src_g.shape[1]].add(part)
+    accz = jnp.concatenate([acc, jnp.zeros((1, w_dim), values.dtype)], axis=0)
+    return jnp.take(accz, linv, axis=0).T
+
+
 def batch_composed_plan(cidx, cw):
     """Fold stacked per-pointing gather tables [P, C, n_out] into one
     pointing-batched plan [C, P·n_out].

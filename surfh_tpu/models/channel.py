@@ -254,6 +254,7 @@ class Channel:
         self._composed_stack = None
         self._composed_t_stack = None
         self._composed_t_layered = False
+        self._composed_t_impl = "coo"
         if (
             self._box_offset is not None
             and os.environ.get("SURFH_COMPOSED_GRIDDING", "1") != "0"
@@ -292,10 +293,15 @@ class Channel:
             # prefix graph would explode compile time, so fall back to COO.
             n_layers = max(len(c.layers) for c in cplans)
             lmax = int(os.environ.get("SURFH_COMPOSED_T_LMAX", "16"))
-            self._composed_t_layered = (
-                os.environ.get("SURFH_COMPOSED_T_IMPL", "layered") != "coo"
-                and n_layers <= lmax
-            )
+            impl = os.environ.get("SURFH_COMPOSED_T_IMPL", "rows")
+            if impl not in ("rows", "layered", "coo"):
+                raise ValueError(
+                    f"SURFH_COMPOSED_T_IMPL={impl!r}: expected rows|layered|coo"
+                )
+            if n_layers > lmax:
+                impl = "coo"
+            self._composed_t_impl = impl
+            self._composed_t_layered = impl != "coo"
             if self._composed_t_layered:
                 t_ks = [
                     max(
@@ -321,7 +327,31 @@ class Channel:
                         ws.append(np.pad(w.astype(npdtype), (0, pad)))
                     parts.append(np.stack(srcs))
                     parts.append(np.stack(ws))
-                self._composed_t_stack = tuple(parts)
+                if impl == "rows":
+                    # bucketed ROW form (the default): pack the prefix
+                    # layers into ≈3 padded buckets consumed as one fused
+                    # take+einsum each — same taps, L accumulator passes
+                    # collapse to the bucket count (the flagship adjoint's
+                    # dominant HBM term; PERF.md roofline)
+                    groups = bilinear.bucket_layers(t_ks)
+                    rows_parts = [parts[0]]
+                    srcs_s, ws_s = parts[1::2], parts[2::2]
+                    for grp in groups:
+                        tg = t_ks[grp[0]]
+                        src_g = np.zeros(
+                            (len(self.pointings), len(grp), tg), np.int32
+                        )
+                        wgt_g = np.zeros(
+                            (len(self.pointings), len(grp), tg), npdtype
+                        )
+                        for j, k in enumerate(grp):
+                            src_g[:, j, : t_ks[k]] = srcs_s[k]
+                            wgt_g[:, j, : t_ks[k]] = ws_s[k]
+                        rows_parts.append(src_g)
+                        rows_parts.append(wgt_g)
+                    self._composed_t_stack = tuple(rows_parts)
+                else:
+                    self._composed_t_stack = tuple(parts)
             else:
                 self._composed_t_stack = self._composed_stack[2:]
 
@@ -341,7 +371,8 @@ class Channel:
         # 5.2→3.6 ms on band 1c).
         self.pointing_batch = bool(
             self._composed_stack is not None
-            and self._composed_t_layered
+            # the batched fold assumes the LAYERED table layout
+            and getattr(self, "_composed_t_impl", None) == "layered"
             and self.wblur_impl != "banded"
             and os.environ.get("SURFH_POINTING_BATCH", "0") == "1"
         )
@@ -938,7 +969,13 @@ class Channel:
                 # both the exact transpose of the composed gather
                 a0, b0, ha, wb = self._tbbox
                 vals = jnp.transpose(win_t, (1, 0, 2, 3)).reshape(W, -1)
-                if self._composed_t_layered:
+                if self._composed_t_impl == "rows":
+                    linv, *rest = cgrid_t
+                    buckets = list(zip(rest[0::2], rest[1::2]))
+                    patch = bilinear.apply_composed_plan_rows_t(
+                        linv, buckets, vals
+                    ).reshape(W, ha, wb)
+                elif self._composed_t_layered:
                     linv, *rest = cgrid_t
                     layers = list(zip(rest[0::2], rest[1::2]))
                     patch = bilinear.apply_composed_plan_layered_t(

@@ -265,7 +265,13 @@ class SpectroSigRLSCT(LinOp):
                       self.conv_rank_rtol, self.conv_precision,
                       str(self.dtype), self.step_degree,
                       _os.environ.get("SURFH_HOST_MATERIALIZE", "1"),
-                      _os.environ.get("SURFH_POINTING_BATCH", ""))).encode())
+                      _os.environ.get("SURFH_POINTING_BATCH", ""),
+                      # table LAYOUT knobs — a layered-era cache entry is
+                      # shape-incompatible with the rows consumer
+                      _os.environ.get("SURFH_COMPOSED_T_IMPL", "rows"),
+                      _os.environ.get("SURFH_COMPOSED_T_LMAX", "16"),
+                      _os.environ.get("SURFH_COMPOSED_GRIDDING", "1"),
+                      )).encode())
         return _os.path.join(loc, f"tables_{h.hexdigest()[:16]}.pkl")
 
     def host_tables(self) -> dict:

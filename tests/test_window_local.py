@@ -287,7 +287,11 @@ def test_pointing_batch_matches_scanned():
     kw = dict(im_size=41, n_lambda=24, n_tpl=3, n_channels=2, n_pointings=3,
               n_slit=4, dtype=jnp.float64)
     old = os.environ.get("SURFH_POINTING_BATCH")
+    old_impl = os.environ.get("SURFH_COMPOSED_T_IMPL")
     try:
+        # the batched fold assumes the LAYERED transpose layout (the
+        # shipped default is the bucketed rows form)
+        os.environ["SURFH_COMPOSED_T_IMPL"] = "layered"
         os.environ["SURFH_POINTING_BATCH"] = "0"
         scanned, setup = make_model(**kw)
         os.environ["SURFH_POINTING_BATCH"] = "1"
@@ -297,6 +301,10 @@ def test_pointing_batch_matches_scanned():
             os.environ.pop("SURFH_POINTING_BATCH", None)
         else:
             os.environ["SURFH_POINTING_BATCH"] = old
+        if old_impl is None:
+            os.environ.pop("SURFH_COMPOSED_T_IMPL", None)
+        else:
+            os.environ["SURFH_COMPOSED_T_IMPL"] = old_impl
     assert all(not c.pointing_batch for c in scanned.channels)
     assert any(c.pointing_batch for c in batched.channels)
     for chan in batched.channels:
@@ -353,3 +361,45 @@ def test_host_table_disk_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("SURFH_TABLE_CACHE", "0")
     m4, _ = make_model(**kw)
     assert m4._table_cache_path() is None
+
+
+def test_composed_transpose_impls_agree():
+    """The three composed-transpose spellings — bucketed rows (default),
+    layered prefix adds, sorted COO scatter — compute the same exact
+    transpose of the composed gather (same taps; only f64 reduction-order
+    noise differs), and the model's forward/adjoint stay a transpose pair
+    under each."""
+    import os
+
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_setup, make_model
+
+    setup = make_setup(im_size=41, n_lambda=24, n_tpl=3, n_channels=2,
+                       n_pointings=2, n_slit=4)
+    kw = dict(setup=setup, dtype=jnp.float64)
+    old = os.environ.get("SURFH_COMPOSED_T_IMPL")
+    models = {}
+    try:
+        for impl in ("rows", "layered", "coo"):
+            os.environ["SURFH_COMPOSED_T_IMPL"] = impl
+            models[impl], _ = make_model(**kw)
+            assert models[impl].channels[0]._composed_t_impl == impl
+    finally:
+        if old is None:
+            os.environ.pop("SURFH_COMPOSED_T_IMPL", None)
+        else:
+            os.environ["SURFH_COMPOSED_T_IMPL"] = old
+
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal(models["rows"].oshape)
+    x = np.asarray(setup["maps"], np.float64)
+    adjs = {k: np.asarray(m.adjoint(y)) for k, m in models.items()}
+    scale = np.abs(adjs["coo"]).max()
+    for k in ("rows", "layered"):
+        np.testing.assert_allclose(adjs[k], adjs["coo"], rtol=0,
+                                   atol=1e-13 * scale)
+    for m in models.values():
+        lhs = float(np.vdot(np.asarray(m.forward(x)), y))
+        rhs = float(np.vdot(x, m.adjoint(y)))
+        assert abs(lhs - rhs) <= 1e-12 * abs(lhs)

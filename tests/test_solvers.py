@@ -261,3 +261,38 @@ def test_lcg_chained_dispatch_matches_unchained():
     np.testing.assert_allclose(a.x, b.x, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(a.x, c.x, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(a.grad_norm, b.grad_norm, rtol=1e-5)
+
+
+def test_lcg_large_mu_float32_conditioning():
+    """The reference's real-data deep run uses µ=5e8 in float32
+    (fusion_real_data_multi_chan.py:445-461; SURVEY hard part #6 flags f32
+    CG conditioning there).  With the precision-pinned solver vdots the
+    grad norm must decrease monotonically-in-trend and substantially even
+    when the regularizer dominates the Hessian by ~9 orders of magnitude.
+    Flagship-scale evidence (500 it, 239x reduction) is in PERF.md; this
+    pins the behavior at CI scale in f32."""
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_model
+    from surfh_tpu.solvers.criterion import QuadCriterion_MRS
+
+    model, setup = make_model(
+        im_size=31, n_lambda=16, n_tpl=3, n_channels=1, n_pointings=1,
+        n_slit=3, dtype=jnp.float32,
+    )
+    y = np.asarray(model.forward(setup["maps"]))
+    crit = QuadCriterion_MRS(1.0, y, model, mu_reg=5e8)
+    res = crit.run_method("lcg", maximum_iterations=100)
+    gn = np.asarray(res.grad_norm, np.float64)
+    assert np.isfinite(gn).all(), "f32 CG produced non-finite grad norms"
+    # the grad norm OSCILLATES at this conditioning (CG minimizes the
+    # Q-norm of the error, not the residual norm), so assert on the
+    # running minimum: measured 4650x at this fixture (1.09e5 -> 23.4);
+    # guard a stall, not a rate
+    assert gn.min() < gn[0] / 100, (
+        f"µ=5e8 f32 CG stalled: {gn[0]:.3e} -> min {gn.min():.3e}"
+    )
+    half = len(gn) // 2
+    assert gn[half:].min() < gn[:half].min(), (
+        "no progress in the second half"
+    )

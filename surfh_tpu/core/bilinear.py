@@ -519,6 +519,107 @@ def apply_composed_plan_rows_t(linv, buckets, values):
     return jnp.take(accz, linv, axis=0).T
 
 
+def banded_from_coo(
+    csrc, cw, cdst, n_patch: int, n_out: int,
+    tb: int = 256, sw: int = 128, dtype=np.float64, nb_total=None,
+):
+    """Banded-matmul respelling of the composed transpose (host, once).
+
+    The rows/layered forms gather one vt row per TAP (~2.4·t0 single rows
+    of Q≈20-24 f32, each charged a full aligned tile — 66% of the flagship
+    app's HBM bytes; PERF.md roofline).  But the taps are geometrically
+    local: ordering destination rows by their first tap's source index,
+    every block of `tb` consecutive rows reads from a window of ~60
+    consecutive sources (slit-α-β locality; slit-crossing shared-edge taps
+    are the non-local tail).  This packs the local majority into NB dense
+    banded weight blocks [tb, sw] consumed as ONE batched MXU matmul
+    against contiguous vt windows — the per-tap row gather disappears —
+    and keeps the tail as a sorted scatter-add of the few non-local taps.
+
+    Returns host arrays ``(linv_b, idx, wb, osrc, ow, odst)`` for
+    :func:`apply_composed_plan_banded_t`; `nb_total` pads the block count
+    (for stacking pointings with differing NB).  The appended zero row of
+    the accumulator lives at ``nb·tb`` — untouched pixels and padding
+    point there.
+    """
+    csrc = np.asarray(csrc, np.int64)
+    cw = np.asarray(cw)
+    cdst = np.asarray(cdst, np.int64)
+    keep = cw != 0
+    csrc, cw, cdst = csrc[keep], cw[keep], cdst[keep]
+    touched, first_pos = np.unique(cdst, return_index=True)
+    key = csrc[first_pos]
+    order = np.argsort(key, kind="stable")
+    t0 = touched.size
+    nb = max(1, -(-t0 // tb))
+    if nb_total is not None:
+        assert nb_total >= nb, (nb_total, nb)
+        nb = int(nb_total)
+    nbt = nb * tb
+    rank_of = np.full(n_patch, nbt, np.int64)
+    rank_of[touched[order]] = np.arange(t0)
+    sw_eff = min(sw, n_out)
+
+    r = rank_of[cdst]
+    block = r // tb
+    # per-block source-window start: median tap source, clipped
+    starts = np.zeros(nb, np.int64)
+    ord_b = np.argsort(block, kind="stable")
+    bounds = np.searchsorted(block[ord_b], np.arange(nb + 1))
+    smax = max(n_out - sw_eff, 0)
+    for b in range(nb):
+        lo, hi = bounds[b], bounds[b + 1]
+        if lo == hi:
+            continue
+        starts[b] = np.clip(
+            int(np.median(csrc[ord_b[lo:hi]])) - sw_eff // 2, 0, smax
+        )
+    off = csrc - starts[block]
+    local = (off >= 0) & (off < sw_eff)
+
+    wb = np.zeros((nb, tb, sw_eff), dtype)
+    np.add.at(
+        wb,
+        (block[local], r[local] - block[local] * tb, off[local]),
+        cw[local].astype(dtype),
+    )
+    nl = ~local
+    if nl.any():
+        o_order = np.argsort(r[nl], kind="stable")
+        osrc = csrc[nl][o_order].astype(np.int32)
+        ow = cw[nl][o_order].astype(dtype)
+        odst = r[nl][o_order].astype(np.int32)
+    else:
+        osrc = np.zeros(1, np.int32)
+        ow = np.zeros(1, dtype)
+        odst = np.full(1, nbt, np.int32)
+    idx = (starts[:, None] + np.arange(sw_eff)[None, :]).astype(np.int32)
+    linv_b = rank_of.astype(np.int32)
+    return linv_b, idx, wb, osrc, ow, odst
+
+
+def apply_composed_plan_banded_t(linv, idx, wb, osrc, ow, odst, values):
+    """Banded exact transpose: values [W, n_out] → patch [W, P].
+
+    Same linear map as :func:`apply_composed_plan_t` (per destination the
+    taps sum in window-position order, a ≤7-term reorder — f64-noise
+    class).  One contiguous-window gather + one batched MXU matmul for
+    the local taps, a short sorted scatter-add for the non-local tail,
+    one permutation take out."""
+    w_dim = values.shape[0]
+    vt = values.T  # [n_out, W]
+    nb, tb, sw = wb.shape
+    g = jnp.take(vt, idx.reshape(-1), axis=0).reshape(nb, sw, w_dim)
+    acc = jnp.einsum("bts,bsw->btw", wb, g, precision=gemm_precision())
+    acc = acc.reshape(nb * tb, w_dim)
+    accz = jnp.concatenate([acc, jnp.zeros((1, w_dim), values.dtype)], axis=0)
+    contrib = jnp.take(vt, osrc, axis=0) * ow[:, None]
+    accz = accz.at[odst].add(
+        contrib, indices_are_sorted=True, unique_indices=False
+    )
+    return jnp.take(accz, linv, axis=0).T
+
+
 def batch_composed_plan(cidx, cw):
     """Fold stacked per-pointing gather tables [P, C, n_out] into one
     pointing-batched plan [C, P·n_out].

@@ -282,27 +282,74 @@ class Channel:
                 np.stack([_padc(c.cw, 0) for c in cplans]),
                 np.stack([_padc(c.cdst, n_patch - 1) for c in cplans]),
             )
-            # Transpose representation: "layered" (default) spells the
-            # exact transpose as dense prefix adds + one unpermuting take
-            # (no scatter; overlaps with MXU stages — PERF.md), "coo"
-            # restores the single sorted scatter.  Bit-identical results.
+            # Transpose representation: "banded" (default) packs the
+            # geometrically local tap majority into dense [tb, sw] weight
+            # blocks consumed as ONE batched MXU matmul over contiguous
+            # source windows (the per-tap row gather — 66% of the rows
+            # impl's HBM bytes — disappears; measured 30.2 vs 25.4 GVox/s
+            # at flagship, PERF.md), "rows"/"layered" spell it as bucketed
+            # row gathers / dense prefix adds, "coo" restores the single
+            # sorted scatter.  All four are the exact transpose (same taps,
+            # only f64 reduction-order noise — tests pin 1e-13 agreement).
             # The layer count is the max taps per patch pixel — ≤ ~10 at
             # production scales, but grids much smaller than the FOV clamp
             # thousands of taps onto border pixels (e.g. band 4 on a 41²
             # test grid: 2840); past SURFH_COMPOSED_T_LMAX the unrolled
-            # prefix graph would explode compile time, so fall back to COO.
+            # rows/layered graphs would explode compile time, so those
+            # fall back to COO (banded is layer-count-independent).
             n_layers = max(len(c.layers) for c in cplans)
             lmax = int(os.environ.get("SURFH_COMPOSED_T_LMAX", "16"))
-            impl = os.environ.get("SURFH_COMPOSED_T_IMPL", "rows")
-            if impl not in ("rows", "layered", "coo"):
+            impl = os.environ.get("SURFH_COMPOSED_T_IMPL", "banded")
+            if impl not in ("banded", "rows", "layered", "coo"):
                 raise ValueError(
-                    f"SURFH_COMPOSED_T_IMPL={impl!r}: expected rows|layered|coo"
+                    f"SURFH_COMPOSED_T_IMPL={impl!r}: "
+                    "expected banded|rows|layered|coo"
                 )
-            if n_layers > lmax:
+            if n_layers > lmax and impl != "banded":
                 impl = "coo"
             self._composed_t_impl = impl
-            self._composed_t_layered = impl != "coo"
-            if self._composed_t_layered:
+            self._composed_t_layered = impl not in ("coo", "banded")
+            if impl == "banded":
+                # banded-matmul transpose: dense [tb, sw] weight blocks over
+                # source-sorted destination rows + a sorted non-local tail
+                # (bilinear.banded_from_coo).  Two passes: block counts and
+                # tail lengths differ per pointing, so build against the
+                # maxima and zero-pad (padding rows/taps add nothing).
+                tb = int(os.environ.get("SURFH_BANDED_TB", "256"))
+                sw = int(os.environ.get("SURFH_BANDED_SW", "128"))
+                n_patch = cplans[0].patch_shape[0] * cplans[0].patch_shape[1]
+                n_out = int(np.prod(cplans[0].out_shape))
+                raw = [
+                    bilinear.banded_from_coo(
+                        c.csrc, c.cw, c.cdst, n_patch, n_out,
+                        tb=tb, sw=sw, dtype=npdtype,
+                    )
+                    for c in cplans
+                ]
+                nb_max = max(r[2].shape[0] for r in raw)
+                k_max = max(r[3].shape[0] for r in raw)
+                parts = [[] for _ in range(6)]
+                for c, r in zip(cplans, raw):
+                    if r[2].shape[0] < nb_max:
+                        r = bilinear.banded_from_coo(
+                            c.csrc, c.cw, c.cdst, n_patch, n_out,
+                            tb=tb, sw=sw, dtype=npdtype, nb_total=nb_max,
+                        )
+                    linv_b, idx, wb, osrc, ow, odst = r
+                    pad = k_max - osrc.shape[0]
+                    parts[0].append(linv_b)
+                    parts[1].append(idx)
+                    parts[2].append(wb)
+                    parts[3].append(np.pad(osrc, (0, pad)))
+                    parts[4].append(np.pad(ow, (0, pad)))
+                    parts[5].append(
+                        np.pad(odst, (0, pad),
+                               constant_values=nb_max * tb)
+                    )
+                self._composed_t_stack = tuple(
+                    np.stack(p) for p in parts
+                )
+            elif self._composed_t_layered:
                 t_ks = [
                     max(
                         (c.layers[k][0].shape[0] if k < len(c.layers) else 0)
@@ -969,7 +1016,11 @@ class Channel:
                 # both the exact transpose of the composed gather
                 a0, b0, ha, wb = self._tbbox
                 vals = jnp.transpose(win_t, (1, 0, 2, 3)).reshape(W, -1)
-                if self._composed_t_impl == "rows":
+                if self._composed_t_impl == "banded":
+                    patch = bilinear.apply_composed_plan_banded_t(
+                        *cgrid_t, vals
+                    ).reshape(W, ha, wb)
+                elif self._composed_t_impl == "rows":
                     linv, *rest = cgrid_t
                     buckets = list(zip(rest[0::2], rest[1::2]))
                     patch = bilinear.apply_composed_plan_rows_t(

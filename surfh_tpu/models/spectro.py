@@ -268,7 +268,9 @@ class SpectroSigRLSCT(LinOp):
                       _os.environ.get("SURFH_POINTING_BATCH", ""),
                       # table LAYOUT knobs — a layered-era cache entry is
                       # shape-incompatible with the rows consumer
-                      _os.environ.get("SURFH_COMPOSED_T_IMPL", "rows"),
+                      _os.environ.get("SURFH_COMPOSED_T_IMPL", "banded"),
+                      _os.environ.get("SURFH_BANDED_TB", "256"),
+                      _os.environ.get("SURFH_BANDED_SW", "128"),
                       _os.environ.get("SURFH_COMPOSED_T_LMAX", "16"),
                       _os.environ.get("SURFH_COMPOSED_GRIDDING", "1"),
                       )).encode())

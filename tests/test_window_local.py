@@ -151,7 +151,7 @@ def test_composed_gridding_matches_staged():
 
 
 def test_composed_transpose_layered_matches_coo():
-    """The layered-prefix transpose (the default: dense prefix adds + one
+    """The layered-prefix transpose (dense prefix adds + one
     unpermuting take, no scatter) is BIT-identical to the sorted-COO
     scatter form (`SURFH_COMPOSED_T_IMPL=coo`): same taps, same
     per-destination summation order.  Covers the tabled path too."""
@@ -290,7 +290,7 @@ def test_pointing_batch_matches_scanned():
     old_impl = os.environ.get("SURFH_COMPOSED_T_IMPL")
     try:
         # the batched fold assumes the LAYERED transpose layout (the
-        # shipped default is the bucketed rows form)
+        # shipped default is the banded-matmul form)
         os.environ["SURFH_COMPOSED_T_IMPL"] = "layered"
         os.environ["SURFH_POINTING_BATCH"] = "0"
         scanned, setup = make_model(**kw)
@@ -364,11 +364,11 @@ def test_host_table_disk_cache(tmp_path, monkeypatch):
 
 
 def test_composed_transpose_impls_agree():
-    """The three composed-transpose spellings — bucketed rows (default),
-    layered prefix adds, sorted COO scatter — compute the same exact
-    transpose of the composed gather (same taps; only f64 reduction-order
-    noise differs), and the model's forward/adjoint stay a transpose pair
-    under each."""
+    """The four composed-transpose spellings — banded matmul (default),
+    bucketed rows, layered prefix adds, sorted COO scatter — compute the
+    same exact transpose of the composed gather (same taps; only f64
+    reduction-order noise differs), and the model's forward/adjoint stay
+    a transpose pair under each."""
     import os
 
     import jax.numpy as jnp
@@ -381,7 +381,7 @@ def test_composed_transpose_impls_agree():
     old = os.environ.get("SURFH_COMPOSED_T_IMPL")
     models = {}
     try:
-        for impl in ("rows", "layered", "coo"):
+        for impl in ("rows", "banded", "layered", "coo"):
             os.environ["SURFH_COMPOSED_T_IMPL"] = impl
             models[impl], _ = make_model(**kw)
             assert models[impl].channels[0]._composed_t_impl == impl
@@ -396,7 +396,7 @@ def test_composed_transpose_impls_agree():
     x = np.asarray(setup["maps"], np.float64)
     adjs = {k: np.asarray(m.adjoint(y)) for k, m in models.items()}
     scale = np.abs(adjs["coo"]).max()
-    for k in ("rows", "layered"):
+    for k in ("rows", "banded", "layered"):
         np.testing.assert_allclose(adjs[k], adjs["coo"], rtol=0,
                                    atol=1e-13 * scale)
     for m in models.values():

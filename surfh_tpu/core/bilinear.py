@@ -620,6 +620,47 @@ def apply_composed_plan_banded_t(linv, idx, wb, osrc, ow, odst, values):
     return jnp.take(accz, linv, axis=0).T
 
 
+def pack_banded_weights(wb_stack):
+    """Compress stacked banded weight blocks [P, nb, tb, sw] to their
+    nonzero (flat index, value) pairs.
+
+    The dense blocks are only ~5 % nonzero at production scales (each
+    destination row holds C ≲ 7 taps of its sw-wide window), yet they are
+    by far the largest host→device table of the banded transpose —
+    shipping them dense through the ~8 MB/s axon tunnel dominated the
+    banded mode's cold start.  The packed pair is ~sw/C smaller; the dense
+    blocks are rebuilt ON DEVICE once at table-materialization time
+    (:func:`unpack_banded_weights`).  Padding entries point at the last
+    flat slot with weight 0 (the scatter-add contributes nothing and the
+    per-pointing index streams stay ascending)."""
+    wb_stack = np.asarray(wb_stack)
+    P = wb_stack.shape[0]
+    n_flat = int(np.prod(wb_stack.shape[1:]))
+    flat = wb_stack.reshape(P, n_flat)
+    nz = [np.flatnonzero(flat[p]) for p in range(P)]
+    m = max(1, max(i.size for i in nz))
+    nzi = np.full((P, m), n_flat - 1, np.int32)
+    nzv = np.zeros((P, m), wb_stack.dtype)
+    for p, i in enumerate(nz):
+        nzi[p, : i.size] = i
+        nzv[p, : i.size] = flat[p, i]
+    return nzi, nzv
+
+
+def unpack_banded_weights(nzi, nzv, block_shape):
+    """Rebuild dense banded weight blocks [P, *block_shape] (jittable).
+
+    Exact inverse of :func:`pack_banded_weights`: one sorted scatter-add
+    into zeros, run once per model on device — the hot-path banded matmul
+    then consumes the dense blocks exactly as before."""
+    n_flat = int(np.prod(block_shape))
+    flat = jnp.zeros((nzi.shape[0], n_flat), nzv.dtype)
+    flat = flat.at[jnp.arange(nzi.shape[0])[:, None], nzi].add(
+        nzv, indices_are_sorted=True, unique_indices=False
+    )
+    return flat.reshape((nzi.shape[0],) + tuple(block_shape))
+
+
 def batch_composed_plan(cidx, cw):
     """Fold stacked per-pointing gather tables [P, C, n_out] into one
     pointing-batched plan [C, P·n_out].

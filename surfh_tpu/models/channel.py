@@ -1087,6 +1087,12 @@ class Channel:
             else (W,) + self.imshape
         )
         if tables is not None:
+            if "cgrid_tz" in tables:
+                raise ValueError(
+                    "banded transpose tables arrived packed (cgrid_tz): run "
+                    "SpectroSigRLSCT.materialize_otf/device_tables to rebuild "
+                    "the dense weight blocks on device before applying"
+                )
             comp_t = tables.get("cgrid_t")
             stack = comp_t if comp_t is not None else tables["tplan"]
         else:

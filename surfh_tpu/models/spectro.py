@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import fft, lmm
+from ..core import bilinear, fft, lmm
 from ..core.linop import LinOp
 from ..instrument.geometry import CoordList, get_srf
 from ..instrument.ifu import IFU
@@ -230,7 +230,7 @@ class SpectroSigRLSCT(LinOp):
 
     # ------------------------------------------------------------------
     # tables-as-arguments mode (window_local=True)
-    _TABLE_CACHE_VERSION = 1
+    _TABLE_CACHE_VERSION = 2  # v2: banded wb blocks ship packed (cgrid_tz)
 
     def _table_cache_path(self):
         """Disk-cache path for the built host tables (stamp mode only).
@@ -318,6 +318,16 @@ class SpectroSigRLSCT(LinOp):
         na_g, nb_g = self.imshape
         for chan in self.channels:
             t = dict(chan.host_tables())
+            if "cgrid_t" in t and chan._composed_t_impl == "banded":
+                # The banded transpose's dense [P, nb, tb, sw] MXU weight
+                # blocks are ~5 % nonzero and dominate the table upload
+                # (GB-scale at flagship; the ~8 MB/s axon tunnel made them
+                # the banded mode's cold-start bottleneck).  Ship the packed
+                # nonzeros instead; `materialize_otf` rebuilds the dense
+                # blocks on device once (bilinear.unpack_banded_weights).
+                linv, idx, wbk, osrc, ow, odst = t.pop("cgrid_t")
+                nzi, nzv = bilinear.pack_banded_weights(wbk)
+                t["cgrid_tz"] = (linv, idx, nzi, nzv, osrc, ow, odst)
             psf_w = (
                 np.asarray(
                     self.psf_stack[chan.wslice.start : chan.wslice.stop], npdtype
@@ -474,6 +484,22 @@ class SpectroSigRLSCT(LinOp):
         changed = False
         jit_kwargs = {"out_shardings": out_sharding} if out_sharding else {}
         for c, t in enumerate(tables["chan"]):
+            if "cgrid_tz" in t:
+                # rebuild the dense banded weight blocks from their packed
+                # nonzeros (shipped compressed — see _build_host_tables);
+                # one scatter-add per model, bit-exact, shared by every
+                # consumer program
+                t = dict(t)
+                linv, idx, nzi, nzv, osrc, ow, odst = t.pop("cgrid_tz")
+                bshape = self.channels[c]._composed_t_stack[2].shape[1:]
+                unpack = jax.jit(
+                    lambda i, v, s=bshape: bilinear.unpack_banded_weights(
+                        i, v, s
+                    ),
+                    **jit_kwargs,
+                )
+                t["cgrid_t"] = (linv, idx, unpack(nzi, nzv), osrc, ow, odst)
+                changed = True
             if "psf" in t:
                 f = jax.jit(
                     lambda p, st: jnp.stack(fft.otf_from_stamps(p, st)),

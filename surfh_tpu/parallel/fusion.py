@@ -159,6 +159,19 @@ class ShardedSpectro:
         for d, dev in enumerate(devices[: self.n_dev]):
             for c in self.slots[d]:
                 t = dict(host["chan"][c])
+                if "cgrid_tz" in t:
+                    # banded weight blocks ship packed (see
+                    # SpectroSigRLSCT._build_host_tables); rebuild the dense
+                    # blocks ON THE OWNER device, mirroring materialize_otf
+                    from ..core import bilinear as bilinear_mod
+
+                    linv, idx, nzi, nzv, osrc, ow, odst = t.pop("cgrid_tz")
+                    bshape = model.channels[c]._composed_t_stack[2].shape[1:]
+                    wbk = jax.jit(
+                        lambda i, v, s=bshape:
+                        bilinear_mod.unpack_banded_weights(i, v, s)
+                    )(jax.device_put(nzi, dev), jax.device_put(nzv, dev))
+                    t["cgrid_t"] = (linv, idx, wbk, osrc, ow, odst)
                 if "psf" in t:
                     psf = jax.device_put(t.pop("psf"), dev)
                     stamp = jax.device_put(t.pop("stamp"), dev)

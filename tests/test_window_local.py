@@ -363,6 +363,55 @@ def test_host_table_disk_cache(tmp_path, monkeypatch):
     assert m4._table_cache_path() is None
 
 
+def test_banded_weights_ship_packed():
+    """Banded-transpose weight blocks ship as packed nonzeros (cgrid_tz)
+    in the model host tables — the dense [P, nb, tb, sw] blocks are ~5 %
+    nonzero and dominated the flagship table upload — and
+    `device_tables`/`materialize_otf` rebuilds dense blocks on device
+    bit-identical to the construction-time ones, so the tabled adjoint
+    matches the closure adjoint exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from surfh_tpu.core import bilinear
+    from surfh_tpu.simulation.synthetic import make_setup, make_model
+
+    setup = make_setup(im_size=41, n_lambda=120, n_tpl=2, n_channels=2,
+                       n_pointings=2, n_slit=3)
+    model, _ = make_model(setup=setup, dtype=jnp.float64, window_local=True,
+                          conv_impl="matmul", psf_stamps=True)
+    assert model.channels[0]._composed_t_impl == "banded"
+
+    host = model.host_tables()
+    for c, t in enumerate(host["chan"]):
+        assert "cgrid_tz" in t and "cgrid_t" not in t
+        # pack/unpack roundtrip equals the dense construction-time blocks
+        wb_dense = model.channels[c]._composed_t_stack[2]
+        nzi, nzv = t["cgrid_tz"][2], t["cgrid_tz"][3]
+        # the packed pair is genuinely smaller than the dense blocks
+        assert nzi.nbytes + nzv.nbytes < wb_dense.nbytes
+        rebuilt = np.asarray(
+            bilinear.unpack_banded_weights(nzi, nzv, wb_dense.shape[1:])
+        )
+        np.testing.assert_array_equal(rebuilt, np.asarray(wb_dense))
+
+    tables = model.device_tables()
+    for c, t in enumerate(tables["chan"]):
+        assert "cgrid_t" in t and "cgrid_tz" not in t
+        np.testing.assert_array_equal(
+            np.asarray(t["cgrid_t"][2]),
+            np.asarray(model.channels[c]._composed_t_stack[2]),
+        )
+
+    rng = np.random.default_rng(11)
+    y = rng.standard_normal(model.oshape)
+    got = np.asarray(jax.jit(model._adjoint_fn_tabled)(
+        jnp.asarray(y), tables))
+    want = np.asarray(model.adjoint(y))
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=1e-14 * np.abs(want).max())
+
+
 def test_composed_transpose_impls_agree():
     """The four composed-transpose spellings — banded matmul (default),
     bucketed rows, layered prefix adds, sorted COO scatter — compute the

@@ -230,7 +230,9 @@ class SpectroSigRLSCT(LinOp):
 
     # ------------------------------------------------------------------
     # tables-as-arguments mode (window_local=True)
-    _TABLE_CACHE_VERSION = 2  # v2: banded wb blocks ship packed (cgrid_tz)
+    # v2: banded wb blocks ship packed (cgrid_tz); v3: raw wpsf dropped from
+    # rank-mode tables (wpsf_q is the only consumer table)
+    _TABLE_CACHE_VERSION = 3
 
     def _table_cache_path(self):
         """Disk-cache path for the built host tables (stamp mode only).
@@ -442,6 +444,11 @@ class SpectroSigRLSCT(LinOp):
                             np.einsum("kwb,wq->kqb", t["wpsf"].astype(np.float64), cmat),
                             npdtype,
                         )
+                        # the rank-basis programs contract ONLY with the
+                        # folded wpsf_q — the raw [K, W, B] wpsf is the
+                        # single largest remaining upload (259 MB of the
+                        # flagship's 516 MB) and is dead weight here
+                        del t["wpsf"]
                     else:
                         t["psf"] = v_psf
                 else:

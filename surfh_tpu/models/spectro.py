@@ -547,12 +547,36 @@ class SpectroSigRLSCT(LinOp):
         out["chan"] = tuple(chans)
         return out
 
+    @staticmethod
+    def prime_tables(tables) -> float:
+        """Force the host→device table streaming NOW (axon quirk).
+
+        On the tunneled runtime `device_put` queues transfers lazily and
+        `block_until_ready` returns before the bytes land, so the FIRST
+        program that consumes the tables pays the transfer work (measured
+        150–440 s for the flagship's 257 MB — far above the tunnel's
+        ~40–50 MB/s steady rate, and with large run-to-run variance that
+        microbenches pin on a one-time per-process slow phase of the
+        runtime's multi-buffer argument handling, not on table volume).
+        Priming moves that cost here instead of the first real
+        application; it does NOT reliably shrink it, so it ships opt-in
+        (`SURFH_PRIME_TABLES=1`).  Returns the checksum so callers can
+        log it."""
+        leaves = jax.tree_util.tree_leaves(tables)
+
+        def _touch(*ls):
+            return sum(jnp.sum(jnp.abs(l).astype(jnp.float32)) for l in ls)
+
+        return float(jax.jit(_touch)(*leaves))
+
     def device_tables(self):
-        """Device-resident tables, uploaded once and cached."""
+        """Device-resident tables, uploaded once, primed, and cached."""
         if self._dev_tables is None:
             self._dev_tables = self.materialize_otf(
                 jax.device_put(self.host_tables())
             )
+            if os.environ.get("SURFH_PRIME_TABLES", "0") == "1":
+                self.prime_tables(self._dev_tables)
         return self._dev_tables
 
     def solver_args(self) -> tuple:

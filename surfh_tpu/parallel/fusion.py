@@ -23,6 +23,7 @@ sharded data vector is a dense [n_dev·slots, block] array.
 
 from __future__ import annotations
 
+import os
 from math import ceil
 from typing import Callable, List, Optional
 
@@ -113,6 +114,10 @@ class ShardedSpectro:
             self._tables = model.materialize_otf(
                 jax.device_put(model.host_tables(), repl), out_sharding=repl
             )
+            if os.environ.get("SURFH_PRIME_TABLES", "0") == "1":
+                # force the lazy host→device streaming before the first
+                # shard_map execution (see SpectroSigRLSCT.prime_tables)
+                type(model).prime_tables(self._tables)
             tspec = jax.tree.map(lambda _: P(), self._tables)
             self._forward_sm = sm(
                 self._local_forward_tabled, (P(), tspec), P(self.axis))

@@ -136,6 +136,14 @@ def main():
     )
     compile_breakdown = {}
     if model.window_local:
+        compile_breakdown["upload_mb"] = round(
+            sum(
+                np.asarray(l).nbytes
+                for l in jax.tree_util.tree_leaves(model.host_tables())
+            )
+            / 1e6,
+            1,
+        )
         t0 = time.perf_counter()
         tables = model.device_tables()
         jax.block_until_ready(jax.tree_util.tree_leaves(tables))

@@ -661,6 +661,143 @@ def unpack_banded_weights(nzi, nzv, block_shape):
     return flat.reshape((nzi.shape[0],) + tuple(block_shape))
 
 
+def banded_mp_from_coo(
+    coos, n_patch: int, n_out: int,
+    tb: int = 256, sw: int = 128, dtype=np.float64,
+):
+    """Multi-pointing banded transpose with ONE shared destination order.
+
+    The per-pointing banded transpose (:func:`banded_from_coo`) pays its
+    row-granularity-inflated ops — the final unpermuting take over the
+    whole patch, the window gather, the tail scatter — once PER POINTING,
+    on rows only Q≈20–24 f32 wide (the XLA cost model charges the
+    flagship unperm take 0.88 GB per pointing per band-4 channel;
+    scripts/win_a_subop_probe.py).  But the pointings view the same sky
+    through dithers of a few pixels, so ONE destination permutation
+    (touched pixels sorted by the mean-over-pointings first-tap source)
+    keeps per-pointing locality, and the adjoint's sum over pointings can
+    ride INSIDE the banded matmul: stacking each pointing's [tb, sw]
+    weight block along the contraction axis gives one batched MXU matmul
+    with K = P·sw whose output is already pointing-summed.  The unperm
+    take, accumulator traffic and tail scatter are then paid once.
+
+    Returns host arrays ``(linv, idx, wbcat, osrc, wsel, odst)`` for
+    :func:`apply_composed_plan_banded_mp_t`:
+
+    * ``linv`` int32 [n_patch] — shared unpermutation (untouched → nb·tb);
+    * ``idx`` int32 [nb, sw] — shared contiguous source windows;
+    * ``wbcat`` [nb, tb, P·sw] — pointing-concatenated weight blocks;
+    * ``osrc/wsel/odst`` — the merged non-local tail: tap n reads source
+      row ``osrc[n]`` of the stacked values and contributes with the
+      one-hot pointing selector ``wsel[n]`` (its own pointing's weight,
+      zero elsewhere), dst-sorted for one scatter-add.
+    """
+    P = len(coos)
+    cleaned = []
+    for csrc, cw, cdst in coos:
+        csrc = np.asarray(csrc, np.int64)
+        cw = np.asarray(cw)
+        cdst = np.asarray(cdst, np.int64)
+        keep = cw != 0
+        cleaned.append((csrc[keep], cw[keep], cdst[keep]))
+    key_sum = np.zeros(n_patch)
+    key_cnt = np.zeros(n_patch)
+    for csrc, _, cdst in cleaned:
+        touched, first_pos = np.unique(cdst, return_index=True)
+        key_sum[touched] += csrc[first_pos]
+        key_cnt[touched] += 1
+    touched = np.flatnonzero(key_cnt > 0)
+    order = np.argsort(key_sum[touched] / key_cnt[touched], kind="stable")
+    t0 = touched.size
+    nb = max(1, -(-t0 // tb))
+    nbt = nb * tb
+    rank_of = np.full(n_patch, nbt, np.int64)
+    rank_of[touched[order]] = np.arange(t0)
+    sw_eff = min(sw, n_out)
+    smax = max(n_out - sw_eff, 0)
+
+    # shared per-block window start: pooled median over ALL pointings' taps
+    all_src = np.concatenate([c[0] for c in cleaned])
+    all_blk = np.concatenate([rank_of[c[2]] // tb for c in cleaned])
+    starts = np.zeros(nb, np.int64)
+    ord_b = np.argsort(all_blk, kind="stable")
+    bounds = np.searchsorted(all_blk[ord_b], np.arange(nb + 1))
+    for b in range(nb):
+        lo, hi = bounds[b], bounds[b + 1]
+        if lo == hi:
+            continue
+        starts[b] = np.clip(
+            int(np.median(all_src[ord_b[lo:hi]])) - sw_eff // 2, 0, smax
+        )
+
+    wbcat = np.zeros((nb, tb, P * sw_eff), dtype)
+    t_src, t_w, t_dst, t_p = [], [], [], []
+    for p, (csrc, cw, cdst) in enumerate(cleaned):
+        r = rank_of[cdst]
+        blk = r // tb
+        off = csrc - starts[blk]
+        local = (off >= 0) & (off < sw_eff)
+        np.add.at(
+            wbcat,
+            (blk[local], r[local] - blk[local] * tb,
+             p * sw_eff + off[local]),
+            cw[local].astype(dtype),
+        )
+        nl = ~local
+        t_src.append(csrc[nl])
+        t_w.append(cw[nl])
+        t_dst.append(r[nl])
+        t_p.append(np.full(int(nl.sum()), p, np.int64))
+    osrc = np.concatenate(t_src)
+    ow = np.concatenate(t_w)
+    odst = np.concatenate(t_dst)
+    opt = np.concatenate(t_p)
+    if osrc.size:
+        o_order = np.argsort(odst, kind="stable")
+        osrc, ow, odst, opt = (
+            osrc[o_order], ow[o_order], odst[o_order], opt[o_order]
+        )
+    else:
+        osrc = np.zeros(1, np.int64)
+        ow = np.zeros(1, dtype)
+        odst = np.full(1, nbt, np.int64)
+        opt = np.zeros(1, np.int64)
+    wsel = np.zeros((osrc.size, P), dtype)
+    wsel[np.arange(osrc.size), opt] = ow.astype(dtype)
+    idx = (starts[:, None] + np.arange(sw_eff)[None, :]).astype(np.int32)
+    return (rank_of.astype(np.int32), idx, wbcat,
+            osrc.astype(np.int32), wsel, odst.astype(np.int32))
+
+
+def apply_composed_plan_banded_mp_t(linv, idx, wbcat, osrc, wsel, odst,
+                                    vals_stack):
+    """Pointing-summed banded transpose: vals [P, W, n_out] → patch [W, P_px].
+
+    One window gather of P·W-wide rows, ONE batched MXU matmul with the
+    pointing axis folded into the contraction (output already summed over
+    pointings), one merged tail scatter, one unperm take.  Same linear map
+    as summing P :func:`apply_composed_plan_banded_t` calls (per
+    destination the taps merely sum in a different order — rounding-noise
+    class; equivalence is test-pinned)."""
+    P, w_dim, n_out = vals_stack.shape
+    nb, tb, psw = wbcat.shape
+    sw = psw // P
+    vt = jnp.transpose(vals_stack, (2, 0, 1)).reshape(n_out, P * w_dim)
+    g = jnp.take(vt, idx.reshape(-1), axis=0).reshape(nb, sw, P, w_dim)
+    g = jnp.transpose(g, (0, 2, 1, 3)).reshape(nb, P * sw, w_dim)
+    acc = jnp.einsum("btk,bkw->btw", wbcat, g, precision=gemm_precision())
+    acc = acc.reshape(nb * tb, w_dim)
+    accz = jnp.concatenate(
+        [acc, jnp.zeros((1, w_dim), vals_stack.dtype)], axis=0)
+    gt = jnp.take(vt, osrc, axis=0).reshape(-1, P, w_dim)
+    contrib = jnp.einsum("npw,np->nw", gt, wsel,
+                         precision=gemm_precision())
+    accz = accz.at[odst].add(
+        contrib, indices_are_sorted=True, unique_indices=False
+    )
+    return jnp.take(accz, linv, axis=0).T
+
+
 def batch_composed_plan(cidx, cw):
     """Fold stacked per-pointing gather tables [P, C, n_out] into one
     pointing-batched plan [C, P·n_out].

@@ -253,6 +253,7 @@ class Channel:
         # pipeline.
         self._composed_stack = None
         self._composed_t_stack = None
+        self._composed_t_stack_mp = None
         self._composed_t_layered = False
         self._composed_t_impl = "coo"
         if (
@@ -300,16 +301,33 @@ class Channel:
             n_layers = max(len(c.layers) for c in cplans)
             lmax = int(os.environ.get("SURFH_COMPOSED_T_LMAX", "16"))
             impl = os.environ.get("SURFH_COMPOSED_T_IMPL", "banded")
-            if impl not in ("banded", "rows", "layered", "coo"):
+            if impl not in ("banded_mp", "banded", "rows", "layered", "coo"):
                 raise ValueError(
                     f"SURFH_COMPOSED_T_IMPL={impl!r}: "
-                    "expected banded|rows|layered|coo"
+                    "expected banded_mp|banded|rows|layered|coo"
                 )
-            if n_layers > lmax and impl != "banded":
+            if n_layers > lmax and impl not in ("banded", "banded_mp"):
                 impl = "coo"
             self._composed_t_impl = impl
-            self._composed_t_layered = impl not in ("coo", "banded")
-            if impl == "banded":
+            self._composed_t_layered = impl not in (
+                "coo", "banded", "banded_mp")
+            self._composed_t_stack_mp = None
+            if impl == "banded_mp":
+                # pointing-summed banded transpose: one shared destination
+                # permutation, pointing-concatenated MXU weight blocks
+                # (K = P·sw), the unperm take / tail scatter paid once per
+                # application instead of once per pointing
+                # (bilinear.banded_mp_from_coo; win_a sub-op roofline in
+                # scripts/win_a_subop_probe.py motivated this).
+                tb = int(os.environ.get("SURFH_BANDED_TB", "256"))
+                sw = int(os.environ.get("SURFH_BANDED_SW", "128"))
+                n_patch = cplans[0].patch_shape[0] * cplans[0].patch_shape[1]
+                n_out = int(np.prod(cplans[0].out_shape))
+                self._composed_t_stack_mp = bilinear.banded_mp_from_coo(
+                    [(c.csrc, c.cw, c.cdst) for c in cplans],
+                    n_patch, n_out, tb=tb, sw=sw, dtype=npdtype,
+                )
+            elif impl == "banded":
                 # banded-matmul transpose: dense [tb, sw] weight blocks over
                 # source-sorted destination rows + a sorted non-local tail
                 # (bilinear.banded_from_coo).  Two passes: block counts and
@@ -659,7 +677,10 @@ class Channel:
             # omitting them saves their HBM residency and tunnel upload
             # (they are replicated per device in the sharded modes)
             t["cgrid"] = self._composed_stack[:2]
-            t["cgrid_t"] = self._composed_t_stack
+            if self._composed_t_stack_mp is not None:
+                t["cgrid_mt"] = self._composed_t_stack_mp
+            else:
+                t["cgrid_t"] = self._composed_t_stack
         else:
             t["plan_idx"] = self._plans_fwd_stack[0]
             t["plan_w"] = self._plans_fwd_stack[1]
@@ -959,6 +980,37 @@ class Channel:
         # the same contraction can land on the VPU with a bad layout)
         wp2d = wpsf.reshape(K, W * sb)
         off = self._box_offset
+
+        cmt = None
+        if self._composed_t_impl == "banded_mp" and not banded:
+            cmt = (tables.get("cgrid_mt") if tables is not None
+                   else self._composed_t_stack_mp)
+        if cmt is not None:
+            # pointing-summed banded transpose: ONE wblur_t GEMM batched
+            # over pointings, then bilinear.apply_composed_plan_banded_mp_t
+            # — the pointing sum rides inside the banded matmul's
+            # contraction and the unperm take / tail scatter run once.
+            n_pt = len(self.pointings)
+            a0, b0, ha, wb = self._tbbox
+            y2d = jnp.transpose(y, (0, 1, 3, 2)).reshape(
+                n_pt * S * n_aout, K)
+            win_t = jax.lax.dot_general(
+                y2d, wp2d, (((1,), (0,)), ((), ())),
+                preferred_element_type=y.dtype,
+                precision=gemm_precision(),
+            ).reshape(n_pt, S, n_aout, W, sb)
+            win_t = win_t * slit_w[None, :, :, None, :]
+            vals = jnp.transpose(win_t, (0, 3, 1, 2, 4)).reshape(
+                n_pt, W, -1)
+            patch = bilinear.apply_composed_plan_banded_mp_t(
+                *cmt, vals).reshape(W, ha, wb)
+            if bbox_out:
+                return patch
+            na_g, nb_g = self.imshape
+            return jnp.pad(
+                patch,
+                ((0, 0), (a0, na_g - a0 - ha), (b0, nb_g - b0 - wb)),
+            )
 
         ctb = None
         if not banded:

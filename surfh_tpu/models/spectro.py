@@ -330,6 +330,12 @@ class SpectroSigRLSCT(LinOp):
                 linv, idx, wbk, osrc, ow, odst = t.pop("cgrid_t")
                 nzi, nzv = bilinear.pack_banded_weights(wbk)
                 t["cgrid_tz"] = (linv, idx, nzi, nzv, osrc, ow, odst)
+            if "cgrid_mt" in t:
+                # same packing for the pointing-summed banded transpose's
+                # [nb, tb, P·sw] concatenated weight blocks (batch axis nb)
+                linv, idx, wbcat, osrc, wsel, odst = t.pop("cgrid_mt")
+                nzi, nzv = bilinear.pack_banded_weights(wbcat)
+                t["cgrid_mtz"] = (linv, idx, nzi, nzv, osrc, wsel, odst)
             psf_w = (
                 np.asarray(
                     self.psf_stack[chan.wslice.start : chan.wslice.stop], npdtype
@@ -506,6 +512,19 @@ class SpectroSigRLSCT(LinOp):
                     **jit_kwargs,
                 )
                 t["cgrid_t"] = (linv, idx, unpack(nzi, nzv), osrc, ow, odst)
+                changed = True
+            if "cgrid_mtz" in t:
+                t = dict(t)
+                linv, idx, nzi, nzv, osrc, wsel, odst = t.pop("cgrid_mtz")
+                bshape = self.channels[c]._composed_t_stack_mp[2].shape[1:]
+                unpack = jax.jit(
+                    lambda i, v, s=bshape: bilinear.unpack_banded_weights(
+                        i, v, s
+                    ),
+                    **jit_kwargs,
+                )
+                t["cgrid_mt"] = (linv, idx, unpack(nzi, nzv),
+                                 osrc, wsel, odst)
                 changed = True
             if "psf" in t:
                 f = jax.jit(

@@ -177,6 +177,18 @@ class ShardedSpectro:
                         bilinear_mod.unpack_banded_weights(i, v, s)
                     )(jax.device_put(nzi, dev), jax.device_put(nzv, dev))
                     t["cgrid_t"] = (linv, idx, wbk, osrc, ow, odst)
+                if "cgrid_mtz" in t:
+                    from ..core import bilinear as bilinear_mod
+
+                    linv, idx, nzi, nzv, osrc, wsel, odst = t.pop("cgrid_mtz")
+                    bshape = (
+                        model.channels[c]._composed_t_stack_mp[2].shape[1:]
+                    )
+                    wbc = jax.jit(
+                        lambda i, v, s=bshape:
+                        bilinear_mod.unpack_banded_weights(i, v, s)
+                    )(jax.device_put(nzi, dev), jax.device_put(nzv, dev))
+                    t["cgrid_mt"] = (linv, idx, wbc, osrc, wsel, odst)
                 if "psf" in t:
                     psf = jax.device_put(t.pop("psf"), dev)
                     stamp = jax.device_put(t.pop("stamp"), dev)

@@ -413,11 +413,11 @@ def test_banded_weights_ship_packed():
 
 
 def test_composed_transpose_impls_agree():
-    """The four composed-transpose spellings — banded matmul (default),
-    bucketed rows, layered prefix adds, sorted COO scatter — compute the
-    same exact transpose of the composed gather (same taps; only f64
-    reduction-order noise differs), and the model's forward/adjoint stay
-    a transpose pair under each."""
+    """The five composed-transpose spellings — banded matmul (default),
+    pointing-summed banded (banded_mp), bucketed rows, layered prefix
+    adds, sorted COO scatter — compute the same exact transpose of the
+    composed gather (same taps; only f64 reduction-order noise differs),
+    and the model's forward/adjoint stay a transpose pair under each."""
     import os
 
     import jax.numpy as jnp
@@ -430,7 +430,7 @@ def test_composed_transpose_impls_agree():
     old = os.environ.get("SURFH_COMPOSED_T_IMPL")
     models = {}
     try:
-        for impl in ("rows", "banded", "layered", "coo"):
+        for impl in ("rows", "banded", "banded_mp", "layered", "coo"):
             os.environ["SURFH_COMPOSED_T_IMPL"] = impl
             models[impl], _ = make_model(**kw)
             assert models[impl].channels[0]._composed_t_impl == impl
@@ -445,7 +445,7 @@ def test_composed_transpose_impls_agree():
     x = np.asarray(setup["maps"], np.float64)
     adjs = {k: np.asarray(m.adjoint(y)) for k, m in models.items()}
     scale = np.abs(adjs["coo"]).max()
-    for k in ("rows", "banded", "layered"):
+    for k in ("rows", "banded", "banded_mp", "layered"):
         np.testing.assert_allclose(adjs[k], adjs["coo"], rtol=0,
                                    atol=1e-13 * scale)
     for m in models.values():

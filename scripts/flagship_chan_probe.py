@@ -79,14 +79,20 @@ def main():
             return fft.lmm_conv_otf_matmul_t(
                 p, tpl_w, t["sotf_ri"][0], t["sotf_ri"][1], t["dftm"])
 
+        # under the flagship default (rank mode + host materialize) the raw
+        # wpsf is dropped from the tables (spectro.py); fall back to the
+        # channel's device copy so --stages keeps working (ADVICE r3)
+        def _wpsf(t):
+            return t["wpsf"] if "wpsf" in t else chan._wpsf_dev
+
         def mid_fwd(b, tb):
             t = tb["chan"][0]
-            return chan._forward_windowed_impl(b, t["wpsf"], "dense", tables=t)
+            return chan._forward_windowed_impl(b, _wpsf(t), "dense", tables=t)
 
         def mid_adj(y, tb):
             t = tb["chan"][0]
             return chan._adjoint_windowed_fast_impl(
-                y, chan.n_wslice, t["wpsf"], tables=t, bbox_out=True)
+                y, chan.n_wslice, _wpsf(t), tables=t, bbox_out=True)
 
         jconv = jax.jit(conv_only)
         blurred = jconv(maps, tables)

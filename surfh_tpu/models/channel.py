@@ -308,6 +308,21 @@ class Channel:
                 )
             if n_layers > lmax and impl not in ("banded", "banded_mp"):
                 impl = "coo"
+            if impl == "banded_mp" and self.wblur_impl == "banded":
+                # the pointing-summed transpose fuses the wblur_t GEMM into
+                # its batched matmul, which the Pallas banded wblur replaces
+                # — the combination would silently fall back to the staged
+                # path (ADVICE r3).  Demote to the per-pointing banded form,
+                # which composes with the Pallas kernel.
+                import warnings
+
+                warnings.warn(
+                    "SURFH_COMPOSED_T_IMPL=banded_mp is incompatible with "
+                    "wblur_impl='banded' (the mp form owns the wblur_t "
+                    "GEMM); using the per-pointing 'banded' transpose",
+                    stacklevel=3,
+                )
+                impl = "banded"
             self._composed_t_impl = impl
             self._composed_t_layered = impl not in (
                 "coo", "banded", "banded_mp")
@@ -1139,9 +1154,10 @@ class Channel:
             else (W,) + self.imshape
         )
         if tables is not None:
-            if "cgrid_tz" in tables:
+            if "cgrid_tz" in tables or "cgrid_mtz" in tables:
                 raise ValueError(
-                    "banded transpose tables arrived packed (cgrid_tz): run "
+                    "banded transpose tables arrived packed (cgrid_tz/"
+                    "cgrid_mtz): run "
                     "SpectroSigRLSCT.materialize_otf/device_tables to rebuild "
                     "the dense weight blocks on device before applying"
                 )

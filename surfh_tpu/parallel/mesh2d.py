@@ -115,55 +115,55 @@ class ShardedSpectro2D:
                                    precision=gemm_precision()))
         return jnp.stack(outs)
 
+    def _partial_rows(self, d, x):
+        """All of device-row d's per-slot partial forwards, padded and
+        stacked [per_dev, block] — one uniform-shape array so the λ-axis
+        reduction is a SINGLE psum executed identically by every device
+        (empty slots contribute zero rows; they still participate)."""
+        dt = self.model.dtype
+        e = jax.lax.axis_index(self.ax_l)
+        rows = []
+        for s in range(self.per_dev):
+            if s < len(self.slots[d]):
+                c = self.slots[d][s]
+                part = jax.lax.switch(
+                    e,
+                    [
+                        (lambda x, c=c, e_=e_: self._channel_partial_forward(c, e_, x))
+                        for e_ in range(self.n_l)
+                    ],
+                    x,
+                ).ravel()
+                rows.append(jnp.pad(part, (0, self.block - part.size)))
+            else:
+                rows.append(jnp.zeros((self.block,), dt))
+        return jnp.stack(rows)
+
     def _local_forward(self, x):
-        model = self.model
-        dt = model.dtype
-
         def branch(d):
-            def f(x):
-                e = jax.lax.axis_index(self.ax_l)
-                rows = []
-                for s in range(self.per_dev):
-                    if s < len(self.slots[d]):
-                        c = self.slots[d][s]
-                        part = jax.lax.switch(
-                            e,
-                            [
-                                (lambda x, c=c, e_=e_: self._channel_partial_forward(c, e_, x))
-                                for e_ in range(self.n_l)
-                            ],
-                            x,
-                        )
-                        y = jax.lax.psum(part, self.ax_l).ravel()
-                        rows.append(jnp.pad(y, (0, self.block - y.size)))
-                    else:
-                        rows.append(jnp.zeros((self.block,), dt))
-                return jnp.stack(rows)
-
-            return f
+            # ONE psum over "lam" per application (the structural comm
+            # contract, asserted by tests/test_parallel.py's HLO check)
+            return lambda x: jax.lax.psum(self._partial_rows(d, x), self.ax_l)
 
         d = jax.lax.axis_index(self.ax_c)
         return jax.lax.switch(d, [branch(i) for i in range(self.n_c)], x)
 
     def _local_normal(self, x):
-        """HᵗH x: per-device partial forward → psum over lam → per-device
-        adjoint of its λ-columns → psum over the whole mesh."""
+        """HᵗH x with exactly TWO collectives per application (the minimum
+        for a 2-D normal: the adjoint needs full detector blocks, so a mid
+        λ-reduction is unavoidable): per-device partial forwards stacked →
+        ONE psum over "lam" → per-device adjoint of its λ-columns → ONE
+        psum over the whole ("lam","chan") mesh."""
         model = self.model
 
         def branch(d):
             def f(x):
                 e = jax.lax.axis_index(self.ax_l)
+                y_rows = jax.lax.psum(self._partial_rows(d, x), self.ax_l)
                 acc = jnp.zeros(model.ishape, model.dtype)
-                for c in self.slots[d]:
-                    part = jax.lax.switch(
-                        e,
-                        [
-                            (lambda x, c=c, e_=e_: self._channel_partial_forward(c, e_, x))
-                            for e_ in range(self.n_l)
-                        ],
-                        x,
-                    )
-                    y_c = jax.lax.psum(part, self.ax_l)
+                for s, c in enumerate(self.slots[d]):
+                    oshape = model.channels[c].oshape
+                    y_c = y_rows[s, : int(np.prod(oshape))].reshape(oshape)
                     contrib = jax.lax.switch(
                         e,
                         [
@@ -179,8 +179,7 @@ class ShardedSpectro2D:
 
         d = jax.lax.axis_index(self.ax_c)
         acc = jax.lax.switch(d, [branch(i) for i in range(self.n_c)], x)
-        acc = jax.lax.psum(acc, self.ax_l)
-        return jax.lax.psum(acc, self.ax_c)
+        return jax.lax.psum(acc, (self.ax_l, self.ax_c))
 
     def _channel_partial_adjoint(self, c: int, e: int, y):
         """Maps contribution of channel c's λ-columns owned by shard e."""

@@ -47,7 +47,17 @@ _pce_cache: dict = {}
 
 def _parse_channel(chan_name: Optional[str], header) -> int:
     if chan_name is None:
-        return int(header["CHANNEL"])
+        ch = int(header["CHANNEL"])
+        if ch not in (1, 2, 3, 4):
+            # genuine MRS products carry BOTH channels of a detector in the
+            # keyword (e.g. CHANNEL='12' on MIRIFUSHORT) — the caller must
+            # disambiguate, as the reference flow does with its chan_name
+            # argument (correction_mrs_data.py)
+            raise ValueError(
+                f"CHANNEL={header['CHANNEL']!r} covers two MRS channels; "
+                "pass chan_name (e.g. '1a') to select one"
+            )
+        return ch
     for c in "1234":
         if c in chan_name:
             return int(c)

@@ -99,18 +99,34 @@ class HDU:
 def _read_header(buf: bytes, offset: int):
     header: Dict[str, Union[str, int, float, bool]] = {}
     pos = offset
+    last_str_key = None  # FITS long-string convention (CONTINUE cards)
     while True:
         block = buf[pos : pos + BLOCK]
         if len(block) < BLOCK:
             raise ValueError("truncated FITS header")
         done = False
         for i in range(0, BLOCK, CARD):
-            key, value, _ = _parse_card(block[i : i + CARD])
+            card = block[i : i + CARD]
+            key, value, _ = _parse_card(card)
             if key == "END":
                 done = True
                 break
+            if key == "CONTINUE" and last_str_key is not None:
+                # continuation of a '...&' long string (real JWST headers
+                # use this for S_REGION etc.): strip the trailing '&' of
+                # the accumulated value and append this card's string
+                m = re.match(r"CONTINUE\s+'((?:[^']|'')*)'", card.decode(
+                    "ascii", errors="replace"))
+                if m:
+                    prev = header[last_str_key]
+                    if isinstance(prev, str) and prev.endswith("&"):
+                        header[last_str_key] = (
+                            prev[:-1] + m.group(1).replace("''", "'").rstrip()
+                        )
+                continue
             if value is not None:
                 header[key] = value
+                last_str_key = key if isinstance(value, str) else None
         pos += BLOCK
         if done:
             return header, pos

@@ -487,9 +487,11 @@ def rehearse(work_dir, band, pointings, npix, step, lambda_subsample, mu,
 @click.option("--npix", default=501, show_default=True, help="Output grid size.")
 @click.option("--oversample", default=1, show_default=True)
 @click.option("--n-pupil", default=256, show_default=True, help="Pupil grid samples.")
-@click.option("--opd", type=click.Path(exists=True), default=None,
-              help="Wavefront/OPD map (.fits or .npy) injected as a pupil "
-              "phase screen (the measured-OPD capability of webbpsf).")
+@click.option("--opd", default=None,
+              help="Wavefront/OPD map injected as a pupil phase screen (the "
+              "measured-OPD capability of webbpsf): a .fits/.npy map, a "
+              ".json recorded decomposition (utils.jwst_psf.recorded_opd), "
+              "or 'commissioning' for the bundled in-flight-level fixture.")
 @click.option("--opd-unit", default="m", show_default=True,
               type=click.Choice(["m", "um", "nm"]), help="OPD map unit.")
 @click.option("--output", "-o", default="psf.npy", show_default=True)
@@ -507,11 +509,21 @@ def gen_psf(wavel_axis, band, pixelscale, npix, oversample, n_pupil, opd,
     import jax
 
     from .instrument.wavelength_mrs import get_mrs_wavelength
-    from .utils.jwst_psf import load_opd, psf_stack, psf_stack_device
+    from .utils.jwst_psf import (
+        load_opd, psf_stack, psf_stack_device, recorded_opd)
 
     wavels = (np.load(wavel_axis) if wavel_axis is not None
               else get_mrs_wavelength(band))
-    opd_map = load_opd(opd, n_pupil, unit=opd_unit) if opd else None
+    if opd == "commissioning":
+        opd = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "instrument", "data",
+                           "jwst_opd_commissioning.json")
+    if opd and opd.endswith(".json"):
+        opd_map = recorded_opd(opd, n_pupil)
+    elif opd:
+        opd_map = load_opd(opd, n_pupil, unit=opd_unit)
+    else:
+        opd_map = None
     t0 = time.time()
     if jax.default_backend() != "cpu":
         # accelerator: kernels built in-graph, one dispatch per λ-chunk

@@ -61,6 +61,24 @@ def _hex_mask(x: np.ndarray, y: np.ndarray, cx: float, cy: float, f2f: float) ->
     return inside
 
 
+def segment_centers() -> list:
+    """(cx, cy) of the 18 JWST primary segments in metres (ring 1 = A1-A6,
+    then alternating B/C segments of ring 2 — the order `jwst_pupil` draws
+    them and the order per-segment terms in a recorded OPD fixture use)."""
+    pitch = SEGMENT_FLAT_TO_FLAT + SEGMENT_GAP
+    centers = []
+    for k in range(6):
+        ang = k * np.pi / 3.0
+        centers.append((pitch * math.cos(ang), pitch * math.sin(ang)))
+    for k in range(6):
+        ang = k * np.pi / 3.0
+        centers.append((2.0 * pitch * math.cos(ang), 2.0 * pitch * math.sin(ang)))
+        ang2 = ang + np.pi / 6.0
+        d2 = math.sqrt(3.0) * pitch
+        centers.append((d2 * math.cos(ang2), d2 * math.sin(ang2)))
+    return centers
+
+
 def jwst_pupil(n: int = 512, diameter: float = PUPIL_DIAMETER) -> np.ndarray:
     """The JWST aperture transmission mask on an n x n grid of width `diameter`.
 
@@ -72,20 +90,7 @@ def jwst_pupil(n: int = 512, diameter: float = PUPIL_DIAMETER) -> np.ndarray:
     ax = (np.arange(n) - (n - 1) / 2.0) * (diameter / n)
     x, y = np.meshgrid(ax, ax, indexing="xy")
 
-    pitch = SEGMENT_FLAT_TO_FLAT + SEGMENT_GAP  # centre-to-centre across a flat
-    centers = []
-    # ring 1: 6 segments across the central segment's flats
-    for k in range(6):
-        ang = k * np.pi / 3.0
-        centers.append((pitch * math.cos(ang), pitch * math.sin(ang)))
-    # ring 2: 6 "corner" segments at 2*pitch plus 6 "edge" segments at sqrt(3)*pitch
-    for k in range(6):
-        ang = k * np.pi / 3.0
-        centers.append((2.0 * pitch * math.cos(ang), 2.0 * pitch * math.sin(ang)))
-        ang2 = ang + np.pi / 6.0
-        d2 = math.sqrt(3.0) * pitch
-        centers.append((d2 * math.cos(ang2), d2 * math.sin(ang2)))
-
+    centers = segment_centers()
     mask = np.zeros((n, n), dtype=bool)
     for cx, cy in centers:
         mask |= _hex_mask(x, y, cx, cy, SEGMENT_FLAT_TO_FLAT)
@@ -232,6 +237,57 @@ def load_opd(path: str, n_pupil: int, unit: str = "m") -> np.ndarray:
         rows = opd[i0] * (1 - f)[:, None] + opd[i0 + 1] * f[:, None]
         cols = rows[:, i0] * (1 - f)[None, :] + rows[:, i0 + 1] * f[None, :]
         opd = cols
+    return opd
+
+
+def recorded_opd(
+    path_or_dict,
+    n_pupil: int,
+    diameter: float = PUPIL_DIAMETER,
+) -> np.ndarray:
+    """OPD map [n_pupil, n_pupil] in METERS from a recorded decomposition.
+
+    The fixture (JSON file or dict) holds a Zernike + per-segment
+    decomposition of a JWST wavefront:
+
+    * ``zernike_noll_nm``: {Noll index: coefficient in nm} — global
+      low-order terms over the full pupil;
+    * ``segment_piston_nm``: 18 per-segment pistons (nm), ordered as
+      :func:`segment_centers`;
+    * ``segment_tilt_nm``: optional 18 [tx, ty] pairs — peak-to-edge
+      amplitude (nm) of a linear ramp across each segment.
+
+    The bundled ``surfh_tpu/data/jwst_opd_commissioning.json`` reproduces
+    the published in-flight wavefront-error level (see its ``provenance``
+    field); any webbpsf-style OPD FITS/npy can be used instead via
+    :func:`load_opd`."""
+    import json as _json
+
+    if isinstance(path_or_dict, dict):
+        rec = path_or_dict
+    else:
+        with open(path_or_dict) as fh:
+            rec = _json.load(fh)
+    zern = {int(k): float(v) * 1e-9
+            for k, v in rec.get("zernike_noll_nm", {}).items()}
+    opd = zernike_opd(n_pupil, zern, diameter)
+
+    pistons = rec.get("segment_piston_nm")
+    tilts = rec.get("segment_tilt_nm")
+    if pistons is not None or tilts is not None:
+        ax = (np.arange(n_pupil) - (n_pupil - 1) / 2.0) * (diameter / n_pupil)
+        x, y = np.meshgrid(ax, ax, indexing="xy")
+        half_f2f = SEGMENT_FLAT_TO_FLAT / 2.0
+        for i, (cx, cy) in enumerate(segment_centers()):
+            seg = _hex_mask(x, y, cx, cy, SEGMENT_FLAT_TO_FLAT)
+            term = np.zeros_like(opd)
+            if pistons is not None:
+                term += float(pistons[i]) * 1e-9
+            if tilts is not None:
+                tx, ty = tilts[i]
+                term += (float(tx) * 1e-9 * (x - cx)
+                         + float(ty) * 1e-9 * (y - cy)) / half_f2f
+            opd[seg] += term[seg]
     return opd
 
 

@@ -6,6 +6,8 @@ These pin the physical-optics invariants the webbpsf-generated stacks obey
 drop-in compatibility with the pipeline's PSF-stack consumers.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -245,3 +247,89 @@ def test_diffraction_spikes_sixfold():
     ]
     # not a strict symmetry test, just that flux exists in all sectors
     assert min(halves) > 0.0 and max(halves) / min(halves) < 10.0
+
+
+# ---------------------------------------------------------------------------
+# recorded OPD fixture (VERDICT r3 item 7): realistic in-flight wavefront
+# ---------------------------------------------------------------------------
+
+OPD_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "surfh_tpu", "instrument", "data", "jwst_opd_commissioning.json",
+)
+
+
+def _ellipticity(psf: np.ndarray, w: int = 15) -> float:
+    """1 - b/a from intensity-weighted second moments of the core window."""
+    r, c = np.unravel_index(psf.argmax(), psf.shape)
+    win = psf[r - w : r + w + 1, c - w : c + w + 1]
+    yy, xx = np.mgrid[-w : w + 1, -w : w + 1]
+    tot = win.sum()
+    mxx = (win * xx * xx).sum() / tot
+    myy = (win * yy * yy).sum() / tot
+    mxy = (win * xx * yy).sum() / tot
+    tr, det = mxx + myy, mxx * myy - mxy * mxy
+    lam1 = tr / 2 + np.sqrt(tr * tr / 4 - det)
+    lam2 = tr / 2 - np.sqrt(tr * tr / 4 - det)
+    return float(1.0 - np.sqrt(lam2 / lam1))
+
+
+def test_recorded_opd_is_at_inflight_level():
+    """The bundled fixture reproduces the published ~70 nm rms in-flight
+    observatory WFE (Rigby et al. 2023) over the illuminated pupil."""
+    pup = jwst_psf.jwst_pupil(256)
+    opd = jwst_psf.recorded_opd(OPD_FIXTURE, 256)
+    rms_nm = float(np.sqrt(np.mean(opd[pup > 0] ** 2))) * 1e9
+    assert 60.0 < rms_nm < 80.0
+    # per-segment pistons are visible as between-segment jumps: the OPD is
+    # not a pure low-order surface
+    assert np.ptp(opd[pup > 0]) * 1e9 > 200.0
+
+
+def test_recorded_opd_strehl_matches_marechal():
+    """Peak attenuation under the recorded OPD follows exp(-(2πσ/λ)²) —
+    the physical-optics propagation treats the phase screen correctly."""
+    pup = jwst_psf.jwst_pupil(256)
+    opd = jwst_psf.recorded_opd(OPD_FIXTURE, 256)
+    sigma = float(np.sqrt(np.mean(opd[pup > 0] ** 2)))
+    for lam_um, scale in ((1.0, 0.008), (5.35, 0.025)):
+        p0 = jwst_psf.monochromatic_psf(pup, lam_um, scale, 201)
+        p1 = jwst_psf.monochromatic_psf(pup, lam_um, scale, 201, opd=opd)
+        strehl = float(p1.max() / p0.max())
+        marechal = float(np.exp(-((2 * np.pi * sigma / (lam_um * 1e-6)) ** 2)))
+        assert abs(strehl - marechal) < 0.02, (lam_um, strehl, marechal)
+
+
+def test_recorded_opd_miri_band_psf_change():
+    """At MIRI wavelengths the in-flight wavefront barely moves the PSF —
+    the diffraction-limited claim, quantified (recorded in PERF.md): at
+    band-1a λ=5.35 µm the FWHM shifts <2% and ellipticity <0.005."""
+    pup = jwst_psf.jwst_pupil(256)
+    opd = jwst_psf.recorded_opd(OPD_FIXTURE, 256)
+    p0 = jwst_psf.monochromatic_psf(pup, 5.35, 0.025, 201)
+    p1 = jwst_psf.monochromatic_psf(pup, 5.35, 0.025, 201, opd=opd)
+    assert abs(_fwhm_px(p1) - _fwhm_px(p0)) <= max(1, 0.02 * _fwhm_px(p0))
+    assert abs(_ellipticity(p1) - _ellipticity(p0)) < 0.005
+    assert 0.985 < p1.max() / p0.max() < 0.999  # Strehl ≈ 0.993
+
+
+def test_gen_psf_cli_with_recorded_opd(tmp_path):
+    from click.testing import CliRunner
+
+    from surfh_tpu.cli import cli as cli_group
+
+    wav = tmp_path / "wav.npy"
+    np.save(wav, np.array([5.3, 5.35], np.float64))
+    out = tmp_path / "psf.npy"
+    r = CliRunner().invoke(cli_group, [
+        "gen-psf", "--wavel-axis", str(wav), "--npix", "61",
+        "--n-pupil", "128", "--opd", "commissioning", "-o", str(out),
+    ])
+    assert r.exit_code == 0, r.output
+    import json as _json
+
+    info = _json.loads(r.output.strip().splitlines()[-1])
+    assert 55.0 < info["opd_rms_nm"] < 85.0  # full-grid rms (pupil-masked ~70)
+    stack = np.load(out)
+    assert stack.shape == (2, 61, 61)
+    assert np.isfinite(stack).all() and stack.max() > 0

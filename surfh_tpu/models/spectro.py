@@ -243,11 +243,15 @@ class SpectroSigRLSCT(LinOp):
         compile cache removed recompiles.  The tables are a pure function
         of the model configuration, so they cache to disk keyed by a hash
         of every input.  SURFH_TABLE_CACHE=0 disables; a directory value
-        overrides /tmp/surfh_table_cache."""
+        overrides the default ~/.cache/surfh_tpu (the location PERF.md and
+        the cold-start verification command reference)."""
         import hashlib
         import os as _os
 
-        loc = _os.environ.get("SURFH_TABLE_CACHE", "/tmp/surfh_table_cache")
+        loc = _os.environ.get(
+            "SURFH_TABLE_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "surfh_tpu"),
+        )
         if loc == "0" or self.psf_stack is None or self.conv_impl != "matmul":
             return None
         h = hashlib.sha1()
@@ -279,13 +283,22 @@ class SpectroSigRLSCT(LinOp):
         return _os.path.join(loc, f"tables_{h.hexdigest()[:16]}.pkl")
 
     def host_tables(self) -> dict:
-        """All large model arrays as one host pytree (see `window_local`)."""
+        """All large model arrays as one host pytree (see `window_local`).
+
+        Memoized in-memory: repeated calls (size accounting, upload, the
+        numpy_ref oracle) must not re-run the ~160 s flagship build or
+        re-load the pickle (ADVICE r3).  Callers must not mutate the
+        returned tree.
+        """
         import pickle
 
+        if getattr(self, "_host_tables_mem", None) is not None:
+            return self._host_tables_mem
         cache_path = self._table_cache_path()
         if cache_path and os.path.exists(cache_path):
             with open(cache_path, "rb") as fh:
                 out, self.conv_supports = pickle.load(fh)
+            self._host_tables_mem = out
             return out
         out = self._build_host_tables()
         if cache_path:
@@ -297,6 +310,7 @@ class SpectroSigRLSCT(LinOp):
                 os.replace(tmp, cache_path)
             except OSError:
                 pass  # best-effort cache
+        self._host_tables_mem = out
         return out
 
     def _build_host_tables(self) -> dict:

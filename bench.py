@@ -522,8 +522,19 @@ def _inner():
     def build_synth(name):
         from surfh_tpu.simulation.synthetic import make_model
 
-        return make_model(dtype=jnp.float32, wblur_impl=wblur_impl,
-                          **PRESETS[name])
+        kw = dict(dtype=jnp.float32, wblur_impl=wblur_impl, **PRESETS[name])
+        if name == "large":
+            # the shipped flagship configuration at mid scale: tables ride
+            # as jit ARGUMENTS + PSF stamps + rank conv.  The plain closure
+            # build embeds the 501²/600λ tables as HLO constants, and that
+            # graph never finishes compiling through the tunnel (round-2
+            # "Broken pipe", round-4 >670 s hang — VERDICT r3 item 5).
+            kw.update(
+                window_local=True, psf_stamps=True,
+                conv_rank_rtol=float(
+                    os.environ.get("SURFH_CONV_RANK_RTOL", "1e-7")),
+            )
+        return make_model(**kw)
 
     if preset != "flagship":
         stage.set(f"build {preset} model")

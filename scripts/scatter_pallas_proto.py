@@ -1,5 +1,11 @@
 """Prototype: Pallas TPU kernel for the composed-transpose row-gather.
 
+SUPERSEDED (round 4) by surfh_tpu/core/scatter_pallas.py +
+scripts/scatter_pallas_flagship.py: the kernel now compiles through the
+tunnel, but this prototype's [TP, L] SMEM tap-table layout OOMs the 1 MB
+SMEM at flagship scale (SMEM windows lane-pad L to 128) — the module
+stores the tables [L, TP].  Kept for the kernel-variant history (K1/K2/K3).
+
 Every XLA spelling of the composed transpose (column/row scatter,
 gather-form, layered prefix — scripts/scatter_bench.py) lands at
 3.5–4.7 ms for band 1c × 1 pointing, ~20× off the ~0.2 ms HBM floor —

@@ -12,14 +12,17 @@ XLA spelling of this contraction pays a slow dynamic-gather lowering
 this kernel keeps the source block VMEM-resident and reads tap tables
 from SMEM, writing contiguous output tiles with no scatter anywhere.
 
-Status: correctness-validated in interpret mode (tests/test_scatter_pallas.py,
-CI) and via the flagship-scale prototype (scripts/scatter_pallas_proto.py).
-The axon remote-compile tunnel crashes on the Mosaic lowering (HTTP 500,
-no diagnostic), so it cannot be *measured* on the tunneled v5e; the module
-exists so the kernel survives until a non-tunneled toolchain is available.
-Post-λ-rank the target op also shrank ~8× (the gather runs on Q = M·R
-rank-basis planes), so the shipped default remains the banded-matmul
-transpose (`bilinear.apply_composed_plan_banded_t`).
+Status (round 4): compiles and runs on the tunneled v5e (the round-3
+Mosaic HTTP-500 is gone).  Measured at flagship scale
+(scripts/scatter_pallas_flagship.py, band 4a × 1 pointing): bit-exact vs
+the production sorted-COO scatter and wall-time PARITY with it (7.37 vs
+7.38 ms) — the op is issue-bound (per-row scalar loop: ~850k
+dynamic-slice VMEM reads), not bandwidth-bound, and the vectorized fix
+is the shipped banded-matmul transpose
+(`bilinear.apply_composed_plan_banded_t`), which packs the same taps
+into dense MXU blocks in plain XLA.  The kernel stays alive (CI
+interpret tests: tests/test_scatter_pallas.py) as the escape hatch for
+layouts the banded form cannot express.
 
 Layout: λ is padded to SUB·128 lanes and each source row stored as SUB
 consecutive [128]-lane rows, so one logical row is a [SUB, 128] tile
@@ -41,10 +44,17 @@ LANES = 128
 
 @dataclass(frozen=True)
 class RowGatherPlan:
-    """Static gather-form plan: per output row, ≤L (source, weight) taps."""
+    """Static gather-form plan: per output row, ≤L (source, weight) taps.
 
-    tsrc: np.ndarray  # int32 [Pp, L] source row index, PRE-SCALED by SUB
-    tw: np.ndarray  # f32 [Pp, L] tap weights (0 beyond the row's fan-in)
+    Tap tables are stored TRANSPOSED, [L, Pp]: SMEM windows pad the minor
+    (lane) dimension to 128, so a [TP, L] layout would burn TP·128·4 B of
+    SMEM per table per buffering level — at TP=512 that alone exceeds the
+    1 MB SMEM (measured compile OOM on v5e).  With L on the sublane axis
+    the window is [L≤8k, TP] and costs L·TP·4 B.
+    """
+
+    tsrc: np.ndarray  # int32 [L, Pp] source row index, PRE-SCALED by SUB
+    tw: np.ndarray  # f32 [L, Pp] tap weights (0 beyond the row's fan-in)
     P: int  # true output row count (padded to Pp = ceil(P/TP)·TP)
     n_src: int  # source row count
     W: int  # payload width (λ); padded to SUB·128
@@ -54,11 +64,11 @@ class RowGatherPlan:
 
     @property
     def Pp(self) -> int:
-        return self.tsrc.shape[0]
+        return self.tsrc.shape[1]
 
     @property
     def L(self) -> int:
-        return self.tsrc.shape[1]
+        return self.tsrc.shape[0]
 
     @property
     def Wp(self) -> int:
@@ -105,8 +115,13 @@ def build_row_gather_plan(
         has = seg > k
         tsrc[:n_dst][has, k] = csrc[starts[:-1][has] + k]
         tw[:n_dst][has, k] = cw[starts[:-1][has] + k]
-    # pre-scale on host: a tap's VMEM address is then a plain SMEM read
-    return RowGatherPlan(tsrc * SUB, tw, n_dst, n_src, W, SUB, tp, unroll)
+    # pre-scale on host: a tap's VMEM address is then a plain SMEM read;
+    # transpose so L rides the (unpadded) sublane axis in SMEM
+    return RowGatherPlan(
+        np.ascontiguousarray((tsrc * SUB).T),
+        np.ascontiguousarray(tw.T),
+        n_dst, n_src, W, SUB, tp, unroll,
+    )
 
 
 def pack_vals(vals: np.ndarray | jnp.ndarray, plan: RowGatherPlan):
@@ -128,13 +143,13 @@ def _make_kernel(L: int, SUB: int, TP: int, UNROLL: int):
             for u in range(UNROLL):
                 p = p0 + u
                 accs.append(
-                    tw_ref[p, 0] * vals_ref[pl.ds(tsrc_ref[p, 0], SUB), :]
+                    tw_ref[0, p] * vals_ref[pl.ds(tsrc_ref[0, p], SUB), :]
                 )
             for l in range(1, L):
                 for u in range(UNROLL):
                     p = p0 + u
-                    accs[u] = accs[u] + tw_ref[p, l] * vals_ref[
-                        pl.ds(tsrc_ref[p, l], SUB), :
+                    accs[u] = accs[u] + tw_ref[l, p] * vals_ref[
+                        pl.ds(tsrc_ref[l, p], SUB), :
                     ]
             for u in range(UNROLL):
                 out_ref[pl.ds((p0 + u) * SUB, SUB), :] = accs[u]
@@ -158,9 +173,9 @@ def gather_rows_pallas(
         _make_kernel(plan.L, plan.SUB, plan.TP, plan.UNROLL),
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((plan.TP, plan.L), lambda i: (i, 0),
+            pl.BlockSpec((plan.L, plan.TP), lambda i: (0, i),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((plan.TP, plan.L), lambda i: (i, 0),
+            pl.BlockSpec((plan.L, plan.TP), lambda i: (0, i),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((plan.n_src * plan.SUB, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -177,7 +192,7 @@ def gather_rows_pallas(
 def gather_rows_reference(vals: np.ndarray, plan: RowGatherPlan) -> np.ndarray:
     """NumPy oracle of the same contraction (tests)."""
     vals = np.asarray(vals, np.float64)
-    tsrc = plan.tsrc[: plan.P] // plan.SUB
-    tw = plan.tw[: plan.P].astype(np.float64)
+    tsrc = plan.tsrc.T[: plan.P] // plan.SUB
+    tw = plan.tw.T[: plan.P].astype(np.float64)
     out = np.einsum("pl,plw->pw", tw, vals[tsrc])
     return out.astype(np.float32)

@@ -465,6 +465,14 @@ def _measure(model, setup, preset, stage, jax, jnp, compile_breakdown=None):
     mfu = flops_per_app / t_jax / V5E_PEAK_FLOPS
     hbm_util = (bytes_per_app / t_jax / V5E_HBM_BW
                 if bytes_per_app is not None else None)
+    bytes_note = None
+    if hbm_util is not None and hbm_util > 1.0:
+        # the cost model re-charges shared table arguments per static-slice
+        # use in the unrolled-pointing graphs, so "bytes accessed" exceeds
+        # what the chip can move in the measured time — modeled, not
+        # physical (PERF.md "Per-stage HBM roofline", round-4 notes)
+        bytes_note = ("cost-model bytes exceed physical bandwidth "
+                      "(unrolled graphs double-count shared table reads)")
 
     result = {
         "metric": f"fwd+adjoint cube-op throughput ({preset})",
@@ -480,6 +488,7 @@ def _measure(model, setup, preset, stage, jax, jnp, compile_breakdown=None):
         "mfu_est": round(mfu, 4),
         "bytes_per_app": bytes_per_app,
         "hbm_util_est": round(hbm_util, 4) if hbm_util is not None else None,
+        **({"bytes_note": bytes_note} if bytes_note else {}),
         "cube_shape": list(model.cube_shape),
         "n_channels": len(model.channels),
         "n_pointings": len(model.pointings[0]),

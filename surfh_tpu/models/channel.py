@@ -87,12 +87,25 @@ class Channel:
 
         self.instr = instr.pix(self.step_degree)
         self.pointings = pointings.pix(self.step_degree)
-        # Pointing structure: ≤2 pointings unroll (constant gather tables,
-        # full cross-pointing XLA fusion — fastest); ≥3 scan (graph stays
-        # O(1) in n_pointing, the flagship's 12×4 unroll was a ~30-min
-        # XLA-CPU compile).  Override with the explicit flag.
+        # Pointing structure: unrolled pointings mean constant gather tables
+        # and full cross-pointing XLA fusion; the scan keeps the graph O(1)
+        # in n_pointing.  Round-4 device traces put ~50 of the flagship
+        # app's 62 device-ms inside the pointing scans (each iteration
+        # dynamic-slices its pointing's stacked tables into the loop body),
+        # and unrolling measures +10% end-to-end on the TPU (33.2 vs
+        # 30.0 GVox/s, PERF.md) — so on TPU the default unrolls up to the
+        # production 4-pointing dither; on CPU the unrolled 12×4 flagship
+        # graph was a ~30-min XLA-CPU compile, so ≥3 pointings still scan.
+        # Override with the explicit flag or SURFH_POINTING_SCAN=0/1.
         if pointing_scan is None:
-            pointing_scan = len(self.pointings) >= 3
+            env = os.environ.get("SURFH_POINTING_SCAN")
+            if env is not None:
+                pointing_scan = env != "0"
+            else:
+                import jax as _jax
+
+                n_unroll = 4 if _jax.default_backend() == "tpu" else 2
+                pointing_scan = len(self.pointings) > n_unroll
         self.pointing_scan = bool(pointing_scan)
 
         local_alpha_axis, local_beta_axis = self.instr.fov.local_coords(

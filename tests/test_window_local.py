@@ -452,3 +452,40 @@ def test_composed_transpose_impls_agree():
         lhs = float(np.vdot(np.asarray(m.forward(x)), y))
         rhs = float(np.vdot(x, m.adjoint(y)))
         assert abs(lhs - rhs) <= 1e-12 * abs(lhs)
+
+
+def test_pointing_unroll_matches_scan():
+    """The unrolled pointing structure (the round-4 TPU default, +11% on
+    the flagship app — PERF.md "Device trace") computes bit-identical
+    forward and adjoint to the scanned form: same per-pointing bodies,
+    same float accumulation order over pointings."""
+    import os
+
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_setup, make_model
+
+    setup = make_setup(im_size=41, n_lambda=24, n_tpl=3, n_channels=2,
+                       n_pointings=4, n_slit=4)
+    old = os.environ.get("SURFH_POINTING_SCAN")
+    try:
+        os.environ["SURFH_POINTING_SCAN"] = "1"
+        m_scan, _ = make_model(setup=setup, dtype=jnp.float32)
+        os.environ["SURFH_POINTING_SCAN"] = "0"
+        m_unr, _ = make_model(setup=setup, dtype=jnp.float32)
+    finally:
+        if old is None:
+            os.environ.pop("SURFH_POINTING_SCAN", None)
+        else:
+            os.environ["SURFH_POINTING_SCAN"] = old
+    assert all(c.pointing_scan for c in m_scan.channels)
+    assert not any(c.pointing_scan for c in m_unr.channels)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(m_scan.ishape), jnp.float32)
+    ys = np.asarray(m_scan.forward(x))
+    yu = np.asarray(m_unr.forward(x))
+    np.testing.assert_array_equal(ys, yu)
+    y = jnp.asarray(ys)
+    np.testing.assert_array_equal(np.asarray(m_scan.adjoint(y)),
+                                  np.asarray(m_unr.adjoint(y)))

@@ -31,6 +31,19 @@ from .precision import gemm_precision
 import numpy as np
 
 
+def take_ib(a, indices, axis):
+    """`jnp.take` for host-built plan indices, which are in-bounds by
+    construction (padding entries point at valid zero rows/slots).
+
+    `jnp.take`'s default mode="fill" appends a compare+select pass over the
+    ENTIRE gathered array to blank out-of-bounds rows — measured at 7.6 of
+    the flagship app's 55 device-ms across the composed gathers/transposes
+    (round-4 trace, PERF.md).  mode="clip" clamps the indices instead (a
+    scalar op fused into the gather) and is bit-identical for in-bounds
+    indices."""
+    return jnp.take(a, indices, axis=axis, mode="clip")
+
+
 @dataclass(frozen=True)
 class BilinearPlan:
     """Static gather plan: 4 corner flat indices + weights for P target points.
@@ -119,7 +132,7 @@ def apply_plan(plan_idx, plan_w, cube):
     flat = cube.reshape(cube.shape[:-2] + (-1,))
     out = jnp.zeros(cube.shape[:-2] + (plan_idx.shape[1],), dtype=cube.dtype)
     for c in range(plan_idx.shape[0]):
-        out = out + plan_w[c] * jnp.take(flat, plan_idx[c], axis=-1)
+        out = out + plan_w[c] * take_ib(flat, plan_idx[c], -1)
     return out
 
 
@@ -219,7 +232,7 @@ def apply_csr_transpose_arrays(tsrc, tw, tdst, values, grid_shape: Tuple[int, in
     scatter-add, independent of the per-pixel contributor count.
     """
     na, nb = grid_shape
-    contrib = jnp.take(values, tsrc, axis=-1) * tw
+    contrib = take_ib(values, tsrc, -1) * tw
     out = jnp.zeros(values.shape[:-1] + (na * nb,), values.dtype)
     out = out.at[..., tdst].add(
         contrib, indices_are_sorted=True, unique_indices=False
@@ -248,7 +261,7 @@ def apply_transpose_plan_arrays(tidx, tw, values, grid_shape: Tuple[int, int]):
     na, nb = grid_shape
     out = jnp.zeros(values.shape[:-1] + (na * nb,), values.dtype)
     for c in range(tidx.shape[0]):
-        out = out + tw[c] * jnp.take(values, tidx[c], axis=-1)
+        out = out + tw[c] * take_ib(values, tidx[c], -1)
     return out.reshape(values.shape[:-1] + (na, nb))
 
 
@@ -412,7 +425,7 @@ def apply_composed_plan(cidx, cw, patch_flat):
     faster on TPU than C dependent take-accumulate steps (the unrolled
     spelling serializes C gathers)."""
     C, n_out = cidx.shape
-    g = jnp.take(patch_flat, cidx.reshape(-1), axis=-1)
+    g = take_ib(patch_flat, cidx.reshape(-1), -1)
     g = g.reshape(patch_flat.shape[:-1] + (C, n_out))
     return jnp.einsum("...cp,cp->...p", g, cw,
                       precision=gemm_precision())
@@ -420,7 +433,7 @@ def apply_composed_plan(cidx, cw, patch_flat):
 
 def apply_composed_plan_t(csrc, cw, cdst, values, patch_pixels: int):
     """Exact transpose: values [..., S·A·sb] → patch [..., ha·wb]."""
-    contrib = jnp.take(values, csrc, axis=-1) * cw
+    contrib = take_ib(values, csrc, -1) * cw
     out = jnp.zeros(values.shape[:-1] + (patch_pixels,), values.dtype)
     return out.at[..., cdst].add(
         contrib, indices_are_sorted=True, unique_indices=False
@@ -443,10 +456,10 @@ def apply_composed_plan_layered_t(linv, layers, values):
     t0 = layers[0][0].shape[0]
     acc = jnp.zeros((t0, w_dim), values.dtype)
     for src, w in layers:
-        upd = jnp.take(vt, src, axis=0) * w[:, None]
+        upd = take_ib(vt, src, 0) * w[:, None]
         acc = acc.at[: src.shape[0]].add(upd)
     accz = jnp.concatenate([acc, jnp.zeros((1, w_dim), values.dtype)], axis=0)
-    return jnp.take(accz, linv, axis=0).T
+    return take_ib(accz, linv, 0).T
 
 
 def bucket_layers(sizes, frac: float = 0.5):
@@ -509,14 +522,14 @@ def apply_composed_plan_rows_t(linv, buckets, values):
     t0 = buckets[0][0].shape[1]
     acc = jnp.zeros((t0, w_dim), values.dtype)
     for src_g, wgt_g in buckets:
-        g = jnp.take(vt, src_g.reshape(-1), axis=0)
+        g = take_ib(vt, src_g.reshape(-1), 0)
         g = g.reshape(src_g.shape + (w_dim,))
         part = jnp.einsum(
             "ltw,lt->tw", g, wgt_g, precision=gemm_precision()
         )
         acc = acc.at[: src_g.shape[1]].add(part)
     accz = jnp.concatenate([acc, jnp.zeros((1, w_dim), values.dtype)], axis=0)
-    return jnp.take(accz, linv, axis=0).T
+    return take_ib(accz, linv, 0).T
 
 
 def banded_from_coo(
@@ -609,15 +622,15 @@ def apply_composed_plan_banded_t(linv, idx, wb, osrc, ow, odst, values):
     w_dim = values.shape[0]
     vt = values.T  # [n_out, W]
     nb, tb, sw = wb.shape
-    g = jnp.take(vt, idx.reshape(-1), axis=0).reshape(nb, sw, w_dim)
+    g = take_ib(vt, idx.reshape(-1), 0).reshape(nb, sw, w_dim)
     acc = jnp.einsum("bts,bsw->btw", wb, g, precision=gemm_precision())
     acc = acc.reshape(nb * tb, w_dim)
     accz = jnp.concatenate([acc, jnp.zeros((1, w_dim), values.dtype)], axis=0)
-    contrib = jnp.take(vt, osrc, axis=0) * ow[:, None]
+    contrib = take_ib(vt, osrc, 0) * ow[:, None]
     accz = accz.at[odst].add(
         contrib, indices_are_sorted=True, unique_indices=False
     )
-    return jnp.take(accz, linv, axis=0).T
+    return take_ib(accz, linv, 0).T
 
 
 def pack_banded_weights(wb_stack):
@@ -783,19 +796,19 @@ def apply_composed_plan_banded_mp_t(linv, idx, wbcat, osrc, wsel, odst,
     nb, tb, psw = wbcat.shape
     sw = psw // P
     vt = jnp.transpose(vals_stack, (2, 0, 1)).reshape(n_out, P * w_dim)
-    g = jnp.take(vt, idx.reshape(-1), axis=0).reshape(nb, sw, P, w_dim)
+    g = take_ib(vt, idx.reshape(-1), 0).reshape(nb, sw, P, w_dim)
     g = jnp.transpose(g, (0, 2, 1, 3)).reshape(nb, P * sw, w_dim)
     acc = jnp.einsum("btk,bkw->btw", wbcat, g, precision=gemm_precision())
     acc = acc.reshape(nb * tb, w_dim)
     accz = jnp.concatenate(
         [acc, jnp.zeros((1, w_dim), vals_stack.dtype)], axis=0)
-    gt = jnp.take(vt, osrc, axis=0).reshape(-1, P, w_dim)
+    gt = take_ib(vt, osrc, 0).reshape(-1, P, w_dim)
     contrib = jnp.einsum("npw,np->nw", gt, wsel,
                          precision=gemm_precision())
     accz = accz.at[odst].add(
         contrib, indices_are_sorted=True, unique_indices=False
     )
-    return jnp.take(accz, linv, axis=0).T
+    return take_ib(accz, linv, 0).T
 
 
 def batch_composed_plan(cidx, cw):
@@ -860,11 +873,11 @@ def apply_composed_plan_layered_t_batched(n_pt, linv_b, layers, values):
     t0 = layers[0][0].shape[0] // n_pt
     acc = jnp.zeros((t0 * n_pt, w_dim), values.dtype)
     for src, w in layers:
-        upd = jnp.take(vt, src, axis=0) * w[:, None]
+        upd = take_ib(vt, src, 0) * w[:, None]
         acc = acc.at[: src.shape[0]].add(upd)
     accz = jnp.concatenate(
         [acc, jnp.zeros((n_pt, w_dim), values.dtype)], axis=0
     )
-    return jnp.take(accz, linv_b.reshape(-1), axis=0).reshape(
+    return take_ib(accz, linv_b.reshape(-1), 0).reshape(
         n_pt, linv_b.shape[1], w_dim
     )

@@ -24,11 +24,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _hlo_metadata_map(compiled_text):
+    """instruction name → 'source_file:line (op_name)' from optimized HLO."""
+    import re
+
+    out = {}
+    pat = re.compile(
+        r"%([\w.\-]+) = [^\n]*?metadata=\{[^}]*?"
+        r"op_name=\"([^\"]*)\"[^}]*?"
+        r"source_file=\"([^\"]*)\"[^}]*?source_line=(\d+)")
+    for m in pat.finditer(compiled_text):
+        name, op, sf, sl = m.groups()
+        sf = sf.rsplit("/surfh_tpu/", 1)[-1]
+        op_tail = "/".join(op.split("/")[-2:])
+        out[name] = f"{sf}:{sl} ({op_tail})"
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default="/tmp/surfh_flagship_trace")
+    ap.add_argument("--attribute", action="store_true",
+                    help="join device fusion times with the optimized HLO's "
+                         "op metadata and report cost per source line")
     args = ap.parse_args()
 
     import jax
@@ -96,6 +116,32 @@ def main():
             "count": cnt,
             "pct": round(100 * dur / max(total, 1e-9), 1),
         }), flush=True)
+
+    if args.attribute:
+        mark("attribute: parse optimized HLO")
+        meta = {}
+        for c in (fwd, adj):
+            meta.update(_hlo_metadata_map(c.as_text()))
+        src_agg = {}
+        unattr = 0.0
+        for n, (dur, cnt) in rows:
+            src = meta.get(n)
+            if src is None:
+                unattr += dur
+                continue
+            a = src_agg.setdefault(src, [0.0, 0])
+            a[0] += dur
+            a[1] += cnt
+        print(json.dumps({"attributed_pct": round(
+            100 * (total - unattr) / max(total, 1e-9), 1)}), flush=True)
+        for src, (dur, cnt) in sorted(src_agg.items(),
+                                      key=lambda kv: -kv[1][0])[: args.top]:
+            print(json.dumps({
+                "src": src[:130],
+                "ms_per_app": round(dur / 1e3 / args.reps, 3),
+                "count": cnt,
+                "pct": round(100 * dur / max(total, 1e-9), 1),
+            }), flush=True)
 
 
 if __name__ == "__main__":

@@ -425,8 +425,8 @@ def apply_composed_plan(cidx, cw, patch_flat):
     faster on TPU than C dependent take-accumulate steps (the unrolled
     spelling serializes C gathers)."""
     C, n_out = cidx.shape
-    g = take_ib(patch_flat, cidx.reshape(-1), -1)
-    g = g.reshape(patch_flat.shape[:-1] + (C, n_out))
+    # 2-D index take: [..., C, n_out] directly (no flat-gather + reshape)
+    g = take_ib(patch_flat, cidx, -1)
     return jnp.einsum("...cp,cp->...p", g, cw,
                       precision=gemm_precision())
 
@@ -622,7 +622,7 @@ def apply_composed_plan_banded_t(linv, idx, wb, osrc, ow, odst, values):
     w_dim = values.shape[0]
     vt = values.T  # [n_out, W]
     nb, tb, sw = wb.shape
-    g = take_ib(vt, idx.reshape(-1), 0).reshape(nb, sw, w_dim)
+    g = take_ib(vt, idx, 0)  # 2-D index take: [nb, sw, w] directly
     acc = jnp.einsum("bts,bsw->btw", wb, g, precision=gemm_precision())
     acc = acc.reshape(nb * tb, w_dim)
     accz = jnp.concatenate([acc, jnp.zeros((1, w_dim), values.dtype)], axis=0)

@@ -63,7 +63,7 @@ def main():
     n_out = _idx.shape[1]
     W = chan.wslice.stop - chan.wslice.start
 
-    plan = build_row_gather_plan(csrc, cw, cdst, P, P and n_out, W,
+    plan = build_row_gather_plan(csrc, cw, cdst, P, n_out, W,
                                  tp=args.tp, unroll=args.unroll)
     # algorithmic bytes: read vals once (they're VMEM-resident), write out,
     # stream the tap tables

@@ -40,7 +40,19 @@ def take_ib(a, indices, axis):
     the flagship app's 55 device-ms across the composed gathers/transposes
     (round-4 trace, PERF.md).  mode="clip" clamps the indices instead (a
     scalar op fused into the gather) and is bit-identical for in-bounds
-    indices."""
+    indices.
+
+    The in-bounds invariant is enforced here at trace time whenever the
+    indices are a host plan table (np.ndarray): a future builder that emits
+    a -1/size sentinel would silently gather a clamped real row otherwise."""
+    if isinstance(indices, np.ndarray) and indices.size:
+        n = a.shape[axis]
+        lo, hi = int(indices.min()), int(indices.max())
+        if lo < 0 or hi >= n:
+            raise ValueError(
+                f"take_ib: plan indices out of bounds [{lo}, {hi}] for axis "
+                f"size {n}; mode='clip' would silently clamp them"
+            )
     return jnp.take(a, indices, axis=axis, mode="clip")
 
 

@@ -99,7 +99,7 @@ class Channel:
         # Override with the explicit flag or SURFH_POINTING_SCAN=0/1.
         if pointing_scan is None:
             env = os.environ.get("SURFH_POINTING_SCAN")
-            if env is not None:
+            if env:  # empty string = unset (documented contract: 0/1)
                 pointing_scan = env != "0"
             else:
                 import jax as _jax

@@ -5,6 +5,10 @@ path compiles to a Mosaic kernel on a non-tunneled TPU toolchain; here it
 runs in interpreter mode on the CPU mesh against a NumPy oracle and
 against `bilinear.apply_composed_plan_t` (the production COO transpose)
 on a real composed plan from a synthetic channel.
+
+The Mosaic compile path (SMEM layout, pl.ds addressing) is NOT covered
+here — `scripts/scatter_pallas_flagship.py` is the on-TPU check; rerun it
+after touching the kernel.
 """
 
 import jax.numpy as jnp

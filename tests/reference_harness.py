@@ -196,6 +196,100 @@ def load_reference_blind(ref_instru):
     return mod
 
 
+def reference_npdiff_r(x):
+    """NpDiff_r.forward, line-for-line semantics (fusion_CT.py:23-25)."""
+    import numpy as np
+
+    return -np.diff(np.pad(x, ((0, 0), (1, 0), (0, 0)), "wrap"), axis=1)
+
+
+def reference_npdiff_r_t(y):
+    import numpy as np
+
+    return np.diff(np.pad(y, ((0, 0), (0, 1), (0, 0)), "wrap"), axis=1)
+
+
+def reference_npdiff_c(x):
+    """NpDiff_c.forward (fusion_CT.py:38-40)."""
+    import numpy as np
+
+    return -np.diff(np.pad(x, ((0, 0), (0, 0), (1, 0)), "wrap"), axis=2)
+
+
+def reference_npdiff_c_t(y):
+    import numpy as np
+
+    return np.diff(np.pad(y, ((0, 0), (0, 0), (0, 1)), "wrap"), axis=2)
+
+
+def reference_crit_val(model, x_hat, y, mu_spectro, mu_reg):
+    """QuadCriterion_MRS.get_crit_val, separated gradient
+    (fusion_CT.py:242-265): J = (µ_s‖Hx−y‖² + µ_r(‖D_r x‖²+‖D_c x‖²)) / 2."""
+    import numpy as np
+
+    data_term = mu_spectro * np.sum(
+        (np.asarray(y).ravel() - np.asarray(model.forward(x_hat)).ravel()) ** 2
+    )
+    regul_term = mu_reg * np.sum(
+        reference_npdiff_r(x_hat) ** 2 + reference_npdiff_c(x_hat) ** 2
+    )
+    return (data_term + regul_term) / 2
+
+
+def reference_lcg_solve(
+    model, y, mu_spectro, mu_reg, niter, value_init=0.5, tol=1e-12
+):
+    """Stand-in for the reference solve path `QuadCriterion_MRS.run_method(
+    'lcg', ...)` (fusion_CT.py:118-238) with qmm absent from this image.
+
+    qmm's `QuadObjective(fwd, adj, data=y, hyper=µ)` represents
+    J_k(x) = µ/2·‖H_k x − y_k‖² with gradient µ·H_kᵗ(H_k x − y_k)
+    (the reference's own convention comment, fusion_CT.py:263-264), and
+    `qmm.lcg(list_obj, init)` is linear conjugate gradient on the summed
+    quadratic — i.e. on the normal equations
+        (µ_s HᵗH + µ_r (D_rᵗD_r + D_cᵗD_c)) x = µ_s Hᵗ y
+    with the separated circular-difference priors D_r/D_c
+    (fusion_CT.py:151-162).  This textbook CG in float64 NumPy converges to
+    the same unique minimizer, which is the quantity under test.
+    """
+    import numpy as np
+
+    shape = tuple(model.ishape)
+    y = np.asarray(y, np.float64).ravel()
+
+    def adj(v):
+        return np.asarray(model.adjoint(v), np.float64).reshape(shape)
+
+    def fwd(x):
+        return np.asarray(model.forward(x), np.float64).ravel()
+
+    def normal(x):
+        reg = reference_npdiff_r_t(reference_npdiff_r(x)) + reference_npdiff_c_t(
+            reference_npdiff_c(x)
+        )
+        return mu_spectro * adj(fwd(x)) + mu_reg * reg
+
+    if np.isscalar(value_init):
+        x = np.full(shape, float(value_init))
+    else:
+        x = np.array(value_init, np.float64).reshape(shape)
+    b = mu_spectro * adj(y)
+    r = b - normal(x)
+    p = r.copy()
+    rs = float(np.vdot(r, r).real)
+    for _ in range(niter):
+        ap = normal(p)
+        alpha = rs / float(np.vdot(p, ap).real)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = float(np.vdot(r, r).real)
+        if np.sqrt(rs_new) < tol:
+            break
+        p = r + (rs_new / rs) * p
+        rs = rs_new
+    return x
+
+
 def load_reference_slicer(ref_instru):
     """Import the reference Slicer against the stubbed instru module."""
     if ref_instru is None:

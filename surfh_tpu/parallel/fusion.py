@@ -673,12 +673,20 @@ class ShardedSpectro:
         tol: float = 1e-12,
         method: str = "lcg",
         packed: bool = False,
+        loop: str = "graph",
+        chain_steps: int = 1,
+        state=None,
+        return_state: bool = False,
     ) -> cg_mod.SolverResult:
         """Sharded regularized least squares:
         min_x ½µ_s‖y − Hx‖² + ½µ_r‖Dx‖² via CG on the normal equations.
 
         Every iteration does one fused HᵗH (one psum) plus the replicated
         separated-difference prior; CG state is replicated maps.
+        `loop="dispatch"` runs the production flagship-scale mode (Python
+        loop, one jitted normal application per dispatch — the in-graph
+        while-loop carry would hold a private copy of every table);
+        `state`/`return_state` resume exactly, as in :func:`solvers.cg.lcg`.
         """
         model = self.model
         y_packed = y if packed else self.pack(y)
@@ -690,6 +698,10 @@ class ShardedSpectro:
         def normal_op(x, *sm_args):
             return mu_spectro * self._normal_sm(x, *sm_args) + mu_reg * dtd_separated(x)
 
-        solver = cg_mod.lcg if method == "lcg" else cg_mod.mmmg
-        return solver(normal_op, b, x0, max_iter=max_iter, tol=tol,
-                      op_args=self._sm_args())
+        if method == "lcg":
+            return cg_mod.lcg(normal_op, b, x0, max_iter=max_iter, tol=tol,
+                              op_args=self._sm_args(), loop=loop,
+                              chain_steps=chain_steps, state=state,
+                              return_state=return_state)
+        return cg_mod.mmmg(normal_op, b, x0, max_iter=max_iter, tol=tol,
+                           op_args=self._sm_args(), loop=loop)

@@ -457,8 +457,18 @@ def compare_flux(fusion_cube, real_cube, mask, median_size, region, output):
               type=click.Choice(["lcg", "mmmg"]), show_default=True)
 @click.option("--noise-rms", default=0.0, show_default=True,
               help="Gaussian noise added to the synthetic detector frames.")
+@click.option("--header", default=None, type=click.Path(exists=True),
+              help="Seed TARG_RA/TARG_DEC/PA_V3 (and the band, unless "
+                   "--band is given explicitly) from a real stage-2 FITS "
+                   "file or header card dump instead of synthetic defaults.")
+@click.option("--targ-ra", default=None, type=float,
+              help="Target RA (deg); overrides --header.")
+@click.option("--targ-dec", default=None, type=float,
+              help="Target Dec (deg); overrides --header.")
+@click.option("--pa-v3", default=None, type=float,
+              help="Telescope V3 position angle (deg); overrides --header.")
 def rehearse(work_dir, band, pointings, npix, step, lambda_subsample, mu,
-             niter, method, noise_rms):
+             niter, method, noise_rms, header, targ_ra, targ_dec, pa_v3):
     """The production real-data flow, chained end-to-end in ONE command:
 
     synthetic stage-2 cal.fits → distortion correction (Shepard, slit
@@ -470,10 +480,26 @@ def rehearse(work_dir, band, pointings, npix, step, lambda_subsample, mu,
     """
     from .pipeline import run_rehearsal
 
+    geo = {}
+    if header is not None:
+        from .preprocessing.metadata import header_geometry
+
+        parsed = header_geometry(header)
+        geo = {k: parsed[k] for k in ("targ_ra", "targ_dec", "pa_v3")}
+        src = click.get_current_context().get_parameter_source("band")
+        if parsed["band"] and src == click.core.ParameterSource.DEFAULT:
+            band = parsed["band"]
+    if targ_ra is not None:
+        geo["targ_ra"] = targ_ra
+    if targ_dec is not None:
+        geo["targ_dec"] = targ_dec
+    if pa_v3 is not None:
+        geo["pa_v3"] = pa_v3
+
     rep = run_rehearsal(
         work_dir, band=band, n_pointings=pointings, npix=npix,
         step_arcsec=step, lambda_subsample=lambda_subsample, mu=mu,
-        niter=niter, method=method, noise_rms=noise_rms,
+        niter=niter, method=method, noise_rms=noise_rms, **geo,
     )
     click.echo(json.dumps(rep))
 

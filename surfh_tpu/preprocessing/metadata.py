@@ -40,6 +40,7 @@ from .fits_io import fits_open, fits_write
 
 __all__ = [
     "parse_raw_name",
+    "header_geometry",
     "propagate_target_coords",
     "propagate_rotation",
     "swap_slit_blocks",
@@ -64,6 +65,68 @@ def parse_raw_name(filename: str) -> Tuple[str, str, str, str]:
     if len(parts) < 4:
         raise ValueError(f"raw slice name needs >=4 '_' tokens: {filename!r}")
     return parts[0], parts[1], parts[2], parts[3]
+
+
+def _parse_card_value(rest: str):
+    """FITS card value from the text after 'KEY     = ' (quoted string,
+    logical, or number; inline /comment stripped outside quotes)."""
+    rest = rest.strip()
+    if rest.startswith("'"):
+        end = rest.find("'", 1)
+        while end != -1 and rest[end : end + 2] == "''":  # escaped quote
+            end = rest.find("'", end + 2)
+        return rest[1:end].replace("''", "'").rstrip()
+    val = rest.split("/")[0].strip()
+    if val in ("T", "F"):
+        return val == "T"
+    try:
+        return int(val)
+    except ValueError:
+        try:
+            return float(val)
+        except ValueError:
+            return val
+
+
+def header_geometry(path: str, chan: Optional[int] = None) -> Dict:
+    """Pointing geometry of a real stage-2 MRS product: TARG_RA / TARG_DEC
+    / PA_V3 and the band name, from either a FITS file or a header card
+    dump (text, one 80-column card per line — the vendored-fixture format).
+
+    The reference reads exactly these keywords to build its real-data
+    models (realmiri.get_IFU, realmiri.py:42-141; correction driver,
+    scripts/correction_mrs_data.py:122-131).  CHANNEL on a MIRIFU detector
+    names TWO channels (e.g. '12'); pass ``chan`` to pick one, else the
+    first digit is used.  BAND SHORT/MEDIUM/LONG maps to sub-band a/b/c.
+    """
+    cards: Dict = {}
+    with open(path, "rb") as fh:
+        head = fh.read(2880)
+    if b"\n" in head:  # header card dump
+        for line in open(path, encoding="ascii", errors="replace"):
+            line = line.rstrip("\n")
+            if len(line) > 10 and line[8] == "=" and line[:8].strip():
+                cards.setdefault(line[:8].strip(), _parse_card_value(line[9:]))
+    else:
+        for hdu in fits_open(path):
+            for k, v in hdu.header.items():
+                cards.setdefault(k, v)
+
+    missing = [k for k in ("TARG_RA", "TARG_DEC") if k not in cards]
+    if missing:
+        raise KeyError(f"{path}: header lacks {missing}")
+    chan_str = str(cards.get("CHANNEL", "")).strip()
+    if chan is None and chan_str:
+        chan = int(chan_str[0])
+    sub = {"SHORT": "a", "MEDIUM": "b"}.get(
+        str(cards.get("BAND", "")).strip().upper(), "c"
+    )
+    return {
+        "targ_ra": float(cards["TARG_RA"]),
+        "targ_dec": float(cards["TARG_DEC"]),
+        "pa_v3": float(cards.get("PA_V3", 0.0)),
+        "band": f"{chan}{sub}" if chan is not None else None,
+    }
 
 
 def _pointing_header(path: str, key: str = "RA_V1") -> Dict:

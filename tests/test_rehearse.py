@@ -95,3 +95,39 @@ def test_rehearsal_sharded_solve_matches(rehearsal):
     scale = np.abs(x_ref).max()
     np.testing.assert_allclose(
         np.asarray(res.x), x_ref, rtol=0, atol=5e-3 * scale)
+
+
+def test_rehearse_seeded_from_real_header(tmp_path):
+    """The full correction→fusion chain driven by the GENUINE geometry of
+    the vendored PDRs4All cal header (VERDICT r4 item 7): PA_V3 ≈ 68.58°,
+    TARG_RA/TARG_DEC of the Orion Bar, band derived from CHANNEL='12' +
+    BAND='SHORT' — instead of the synthetic defaults (pa_v3=0)."""
+    from click.testing import CliRunner
+
+    from surfh_tpu.cli import cli
+    from surfh_tpu.preprocessing.metadata import header_geometry
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "miri_mrs_cal_header.txt"
+    )
+    geo = header_geometry(fixture)
+    assert geo["band"] == "1a"  # CHANNEL='12' first digit + BAND='SHORT'
+    assert geo["targ_ra"] == pytest.approx(83.8354047)
+    assert geo["targ_dec"] == pytest.approx(-5.4170556)
+    assert geo["pa_v3"] == pytest.approx(68.57554349924975)
+
+    work = str(tmp_path / "rehearse_hdr")
+    r = CliRunner().invoke(cli, [
+        "rehearse", "-w", work, "--header", fixture, "--pointings", "2",
+        "-np", "61", "--step", "0.17", "--lambda-subsample", "12",
+        "-hp", "1.0", "-ni", "25",
+    ])
+    assert r.exit_code == 0, r.output
+    rep = json.loads(r.output.strip().splitlines()[-1])
+    assert rep["band"] == "1a"
+    assert rep["pa_v3"] == pytest.approx(geo["pa_v3"])
+    assert rep["targ_ra"] == pytest.approx(geo["targ_ra"])
+    assert rep["targ_dec"] == pytest.approx(geo["targ_dec"])
+    # the rotated-FOV chain completed and reconstructs the data
+    assert rep["residual_rel"] < 0.15, rep
+    assert 0.8 < rep["flux_ratio_median"] < 1.2, rep

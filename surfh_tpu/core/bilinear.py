@@ -645,6 +645,76 @@ def apply_composed_plan_banded_t(linv, idx, wb, osrc, ow, odst, values):
     return take_ib(accz, linv, 0).T
 
 
+def banded_cat_from_stack(linv_s, idx_s, wb_s, osrc_s, ow_s, odst_s,
+                          n_out: int):
+    """Cross-pointing concatenated spelling of the banded transpose (host).
+
+    The round-4 device trace pinned ~19 % of the flagship app on gather
+    ISSUE cost (~1200 instances at ~15 µs; PERF.md "Trace find #3"), with
+    the count set by the per-(channel, pointing) op structure.  This
+    spelling shares ONE gather / scatter / take instruction across the
+    pointing axis at the INDEX level: the per-pointing tables (already
+    stacked and shape-unified) get row offsets into pointing-concatenated
+    sources, so the window gather, the tail scatter and the unperm take
+    each run once per channel instead of once per pointing — with NO
+    relayout of the lane axis (unlike `banded_mp_from_coo`, whose
+    [nb, sw, P, w] repack measurably lost; PERF.md "banded_mp").
+
+    Inputs are the 6 stacked arrays of a per-pointing banded build
+    (`banded_from_coo` results stacked over P).  Index remaps:
+    * window gather rows: pointing p reads vt rows [p·n_out, (p+1)·n_out)
+      of the concatenated [P·n_out, W] value matrix;
+    * accumulator rows: pointing p owns [p·nbt, (p+1)·nbt); ONE zero row
+      is appended at P·nbt.  Tail-scatter padding entries (odst == nbt,
+      weight 0) land on the next pointing's row 0 — a harmless +0 that
+      keeps the concatenated scatter indices ascending.  Unperm (`linv`)
+      padding MUST read zeros, so those entries remap to the true zero
+      row at P·nbt.
+    """
+    linv_s = np.asarray(linv_s)
+    P, n_patch = linv_s.shape
+    nb, tb = wb_s.shape[1], wb_s.shape[2]
+    nbt = nb * tb
+    offs_out = np.arange(P, dtype=np.int64) * n_out
+    idx_cat = (np.asarray(idx_s, np.int64)
+               + offs_out[:, None, None]).astype(np.int32)
+    osrc_cat = (np.asarray(osrc_s, np.int64)
+                + offs_out[:, None]).astype(np.int32)
+    offs_acc = np.arange(P, dtype=np.int64) * nbt
+    odst_cat = (np.asarray(odst_s, np.int64)
+                + offs_acc[:, None]).astype(np.int32)
+    linv_cat = np.asarray(linv_s, np.int64) + offs_acc[:, None]
+    linv_cat[linv_s == nbt] = P * nbt
+    return (linv_cat.astype(np.int32), idx_cat, np.asarray(wb_s),
+            osrc_cat, np.asarray(ow_s), odst_cat)
+
+
+def apply_composed_plan_banded_cat_t(linv_cat, idx_cat, wb_s, osrc_cat,
+                                     ow_s, odst_cat, values_s):
+    """Pointing-concatenated banded transpose: values [P, W, n_out] →
+    patch [W, n_patch], pointing-summed.
+
+    Same per-(pointing, destination) tap order as P calls of
+    :func:`apply_composed_plan_banded_t`; only the final pointing sum
+    moves from incremental patch adds into the unperm take's reduction
+    (f32 reduction-order noise).  One gather + one batched MXU matmul +
+    one sorted scatter + one take for ALL pointings."""
+    P, w_dim, n_out = values_s.shape
+    vt = jnp.transpose(values_s, (0, 2, 1)).reshape(P * n_out, w_dim)
+    nb, tb = wb_s.shape[1], wb_s.shape[2]
+    g = take_ib(vt, idx_cat, 0)  # [P, nb, sw, W] — one gather instruction
+    acc = jnp.einsum("pbts,pbsw->pbtw", wb_s, g, precision=gemm_precision())
+    acc = acc.reshape(P * nb * tb, w_dim)
+    accz = jnp.concatenate(
+        [acc, jnp.zeros((1, w_dim), values_s.dtype)], axis=0)
+    contrib = take_ib(vt, osrc_cat.reshape(-1), 0) * ow_s.reshape(-1)[:, None]
+    accz = accz.at[odst_cat.reshape(-1)].add(
+        contrib, indices_are_sorted=True, unique_indices=False
+    )
+    out = take_ib(accz, linv_cat, 0)  # [P, n_patch, W] — one take
+    return out.sum(axis=0).T
+
+
 def pack_banded_weights(wb_stack):
     """Compress stacked banded weight blocks [P, nb, tb, sw] to their
     nonzero (flat index, value) pairs.

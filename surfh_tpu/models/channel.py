@@ -480,6 +480,34 @@ class Channel:
                 self._composed_t_stack[0], self._composed_t_stack[1:], n_out
             )
 
+        # --- pointing-CONCATENATED banded transpose + batched fwd gather --
+        # Round-5 follow-up to the device trace's gather-issue finding
+        # (~19 % of the flagship app on ~1200 gather instances at ~15 µs
+        # issue cost each; PERF.md "Trace find #3"): in the UNROLLED
+        # pointing mode every (channel, pointing) pays its own gather /
+        # scatter / take instances.  This mode shares one instruction per
+        # site across the pointing axis at the INDEX level — offset index
+        # tables into pointing-concatenated sources, no lane-axis relayout
+        # (the banded_mp mistake) — and batches the forward composed
+        # gather + wblur GEMM over pointings.  SURFH_POINTING_CAT=0/1.
+        self.pointing_cat = bool(
+            self._composed_stack is not None
+            and self._composed_t_impl == "banded"
+            and self.wblur_impl != "banded"
+            and not self.pointing_scan
+            and os.environ.get("SURFH_POINTING_CAT", "0") == "1"
+        )
+        self._composed_t_cat = None
+        if self.pointing_cat:
+            n_out = self.oshape[1] * self.oshape[3] * self.slit_shape[2]
+            if self._composed_batch is None:
+                self._composed_batch = bilinear.batch_composed_plan(
+                    self._composed_stack[0], self._composed_stack[1]
+                )
+            self._composed_t_cat = bilinear.banded_cat_from_stack(
+                *self._composed_t_stack, n_out
+            )
+
         self._forward_jit = jax.jit(self._forward_fn)
         self._adjoint_jit = None
         self._adjoint_interp_jit = None
@@ -700,6 +728,12 @@ class Channel:
             # different layout, so shipping both would double the upload)
             t["cgrid_b"] = self._composed_batch
             t["cgrid_t_b"] = self._composed_t_batch[1:]
+        elif self.pointing_cat:
+            # pointing-concatenated banded mode: batched forward gather +
+            # index-offset concatenated transpose tables (the stacked
+            # per-pointing variants go unused)
+            t["cgrid_b"] = self._composed_batch
+            t["cgrid_ct"] = self._composed_t_cat
         elif self._composed_stack is not None:
             # composed mode: the staged gather/transpose tables go unused —
             # omitting them saves their HBM residency and tunnel upload
@@ -873,7 +907,7 @@ class Channel:
             if tables is not None:
                 cb = tables.get("cgrid_b")
                 slit_wb = tables["slit_w"] if cb is not None else None
-            elif self.pointing_batch:
+            elif self.pointing_batch or self.pointing_cat:
                 cb = self._composed_batch
                 slit_wb = self.slit_weights_sub
         if cb is not None:
@@ -1040,6 +1074,40 @@ class Channel:
                 ((0, 0), (a0, na_g - a0 - ha), (b0, nb_g - b0 - wb)),
             )
 
+        cct = None
+        if not banded and self._composed_t_impl == "banded":
+            if tables is not None:
+                cct = tables.get("cgrid_ct")
+            elif self.pointing_cat:
+                cct = self._composed_t_cat
+        if cct is not None:
+            # pointing-concatenated banded transpose: ONE wblur_t GEMM
+            # batched over pointings, then ONE window gather + batched MXU
+            # banded matmul + one sorted tail scatter + one unperm take for
+            # ALL pointings (index-offset tables; same taps and order as
+            # the per-pointing banded form, pointing sum in the final take).
+            n_pt = len(self.pointings)
+            a0, b0, ha, wb = self._tbbox
+            y2d = jnp.transpose(y, (0, 1, 3, 2)).reshape(
+                n_pt * S * n_aout, K)
+            win_t = jax.lax.dot_general(
+                y2d, wp2d, (((1,), (0,)), ((), ())),
+                preferred_element_type=y.dtype,
+                precision=gemm_precision(),
+            ).reshape(n_pt, S, n_aout, W, sb)
+            win_t = win_t * slit_w[None, :, :, None, :]
+            vals = jnp.transpose(win_t, (0, 3, 1, 2, 4)).reshape(
+                n_pt, W, -1)
+            patch = bilinear.apply_composed_plan_banded_cat_t(
+                *cct, vals).reshape(W, ha, wb)
+            if bbox_out:
+                return patch
+            na_g, nb_g = self.imshape
+            return jnp.pad(
+                patch,
+                ((0, 0), (a0, na_g - a0 - ha), (b0, nb_g - b0 - wb)),
+            )
+
         ctb = None
         if not banded:
             if tables is not None:
@@ -1167,10 +1235,11 @@ class Channel:
             else (W,) + self.imshape
         )
         if tables is not None:
-            if "cgrid_tz" in tables or "cgrid_mtz" in tables:
+            if ("cgrid_tz" in tables or "cgrid_mtz" in tables
+                    or "cgrid_ctz" in tables):
                 raise ValueError(
                     "banded transpose tables arrived packed (cgrid_tz/"
-                    "cgrid_mtz): run "
+                    "cgrid_mtz/cgrid_ctz): run "
                     "SpectroSigRLSCT.materialize_otf/device_tables to rebuild "
                     "the dense weight blocks on device before applying"
                 )

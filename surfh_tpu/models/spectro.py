@@ -271,7 +271,14 @@ class SpectroSigRLSCT(LinOp):
                       self.conv_rank_rtol, self.conv_precision,
                       str(self.dtype), self.step_degree,
                       _os.environ.get("SURFH_HOST_MATERIALIZE", "1"),
-                      _os.environ.get("SURFH_POINTING_BATCH", ""),
+                      # table-layout flags from the CHANNELS, not the env:
+                      # host_tables builds lazily, so the env at build time
+                      # can differ from the env the model was constructed
+                      # under (a stale-cache hazard)
+                      tuple((c.pointing_scan,
+                             bool(getattr(c, "pointing_batch", False)),
+                             bool(getattr(c, "pointing_cat", False)))
+                            for c in self.channels),
                       # table LAYOUT knobs — a layered-era cache entry is
                       # shape-incompatible with the rows consumer
                       _os.environ.get("SURFH_COMPOSED_T_IMPL", "banded"),
@@ -350,6 +357,12 @@ class SpectroSigRLSCT(LinOp):
                 linv, idx, wbcat, osrc, wsel, odst = t.pop("cgrid_mt")
                 nzi, nzv = bilinear.pack_banded_weights(wbcat)
                 t["cgrid_mtz"] = (linv, idx, nzi, nzv, osrc, wsel, odst)
+            if "cgrid_ct" in t:
+                # same packing for the pointing-CONCATENATED banded
+                # transpose (its weight blocks are the per-pointing stack)
+                linv, idx, wbk, osrc, ow, odst = t.pop("cgrid_ct")
+                nzi, nzv = bilinear.pack_banded_weights(wbk)
+                t["cgrid_ctz"] = (linv, idx, nzi, nzv, osrc, ow, odst)
             psf_w = (
                 np.asarray(
                     self.psf_stack[chan.wslice.start : chan.wslice.stop], npdtype
@@ -539,6 +552,18 @@ class SpectroSigRLSCT(LinOp):
                 )
                 t["cgrid_mt"] = (linv, idx, unpack(nzi, nzv),
                                  osrc, wsel, odst)
+                changed = True
+            if "cgrid_ctz" in t:
+                t = dict(t)
+                linv, idx, nzi, nzv, osrc, ow, odst = t.pop("cgrid_ctz")
+                bshape = self.channels[c]._composed_t_cat[2].shape[1:]
+                unpack = jax.jit(
+                    lambda i, v, s=bshape: bilinear.unpack_banded_weights(
+                        i, v, s
+                    ),
+                    **jit_kwargs,
+                )
+                t["cgrid_ct"] = (linv, idx, unpack(nzi, nzv), osrc, ow, odst)
                 changed = True
             if "psf" in t:
                 f = jax.jit(

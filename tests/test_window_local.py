@@ -489,3 +489,98 @@ def test_pointing_unroll_matches_scan():
     y = jnp.asarray(ys)
     np.testing.assert_array_equal(np.asarray(m_scan.adjoint(y)),
                                   np.asarray(m_unr.adjoint(y)))
+
+
+def test_pointing_cat_matches_unrolled():
+    """The pointing-concatenated banded transpose + batched forward gather
+    (SURFH_POINTING_CAT=1: index-offset tables into pointing-concatenated
+    sources, one gather/scatter/take per channel instead of per pointing)
+    computes the same linear map as the per-pointing unrolled banded
+    default — same taps, same per-destination tap order; only the final
+    pointing-sum reduction order changes."""
+    import os
+
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_model
+
+    kw = dict(im_size=41, n_lambda=24, n_tpl=3, n_channels=2, n_pointings=3,
+              n_slit=4, dtype=jnp.float64)
+    old_cat = os.environ.get("SURFH_POINTING_CAT")
+    old_scan = os.environ.get("SURFH_POINTING_SCAN")
+    try:
+        os.environ["SURFH_POINTING_SCAN"] = "0"  # cat composes with unrolled
+        os.environ["SURFH_POINTING_CAT"] = "0"
+        plain, setup = make_model(**kw)
+        os.environ["SURFH_POINTING_CAT"] = "1"
+        cat, _ = make_model(**kw)
+    finally:
+        for k, v in (("SURFH_POINTING_CAT", old_cat),
+                     ("SURFH_POINTING_SCAN", old_scan)):
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert all(not c.pointing_cat for c in plain.channels)
+    assert all(c.pointing_cat for c in cat.channels)
+    for chan in cat.channels:
+        t = chan.host_tables()
+        assert "cgrid_b" in t and "cgrid_ct" in t and "cgrid" not in t
+
+    rng = np.random.default_rng(5)
+    x = rng.random(plain.ishape)
+    yp = np.asarray(plain.forward(x))
+    yc = np.asarray(cat.forward(x))
+    np.testing.assert_allclose(yc, yp, rtol=0, atol=1e-13 * np.abs(yp).max())
+    yr = rng.standard_normal(plain.oshape)
+    a_p = np.asarray(plain.adjoint_fn(yr))
+    a_c = np.asarray(cat.adjoint_fn(yr))
+    np.testing.assert_allclose(a_c, a_p, rtol=0, atol=1e-13 * np.abs(a_p).max())
+    # dot-test of the cat pair: the adjoint is still the exact transpose
+    lhs = float(np.vdot(yc, yr))
+    rhs = float(np.vdot(x, a_c))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+def test_pointing_cat_window_local_tabled():
+    """The cat mode through the PRODUCTION window-local tables-as-args path:
+    cgrid_ct ships packed (cgrid_ctz), materializes on device, and the
+    tabled forward/adjoint match the per-pointing tabled default."""
+    import os
+
+    import jax.numpy as jnp
+
+    from surfh_tpu.simulation.synthetic import make_model
+
+    kw = dict(im_size=41, n_lambda=60, n_tpl=2, n_channels=2, n_pointings=3,
+              n_slit=3, window_local=True, conv_impl="matmul",
+              conv_freq_rtol=1e-6, psf_stamps=True)
+    old_cat = os.environ.get("SURFH_POINTING_CAT")
+    old_scan = os.environ.get("SURFH_POINTING_SCAN")
+    try:
+        os.environ["SURFH_POINTING_SCAN"] = "0"
+        os.environ["SURFH_POINTING_CAT"] = "0"
+        plain, setup = make_model(**kw)
+        os.environ["SURFH_POINTING_CAT"] = "1"
+        cat, _ = make_model(setup=setup, **{k: v for k, v in kw.items()
+                                            if k not in ()})
+    finally:
+        for k, v in (("SURFH_POINTING_CAT", old_cat),
+                     ("SURFH_POINTING_SCAN", old_scan)):
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert all(c.pointing_cat for c in cat.channels)
+    host = cat.host_tables()
+    assert any("cgrid_ctz" in t for t in host["chan"])
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random(plain.ishape), jnp.float32)
+    yp = np.asarray(plain.forward(x))
+    yc = np.asarray(cat.forward(x))
+    np.testing.assert_allclose(yc, yp, rtol=0, atol=1e-5 * np.abs(yp).max())
+    yr = rng.standard_normal(plain.oshape).astype(np.float32)
+    a_p = np.asarray(plain.adjoint(yr))
+    a_c = np.asarray(cat.adjoint(yr))
+    np.testing.assert_allclose(a_c, a_p, rtol=0, atol=1e-5 * np.abs(a_p).max())

@@ -71,6 +71,72 @@ def synthetic_orion(
     return maps, np.asarray(tpl), STEP_ARCSEC, wavel_axis
 
 
+def synthetic_ngc7023(
+    n_maps: int = 4, size: int = 251, n_wavel: int = 900, seed: int = 11
+) -> Tuple[np.ndarray, np.ndarray, float, np.ndarray]:
+    """NGC 7023-like reflection-nebula scene (the second target the
+    BASELINE north star names): bright point sources (the illuminating
+    star + field stars) over narrow curved PDR filaments and a diffuse
+    cavity — a morphology with sharp small-scale structure, unlike the
+    smooth Orion-bar fronts, so it stresses the reconstruction rather
+    than flattering the smoothness prior."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(
+        np.linspace(-1, 1, size), np.linspace(-1, 1, size), indexing="ij"
+    )
+    rr = np.sqrt(xx**2 + yy**2)
+    theta = np.arctan2(yy, xx)
+    psf_sig = 2.5 / size  # marginally-resolved stars (~2.5 px sigma)
+
+    def star(cx, cy, amp):
+        return amp * np.exp(
+            -((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * psf_sig**2)
+        )
+
+    maps = []
+    for m in range(n_maps):
+        img = np.zeros_like(xx)
+        # curved filaments: Gaussian ridges along spiral-ish arcs
+        for k in range(4):
+            r0 = 0.25 + 0.17 * k + 0.05 * m
+            phase = rng.uniform(0, 2 * np.pi)
+            ridge = rr - r0 * (1 + 0.15 * np.sin(3 * theta + phase))
+            wdt = rng.uniform(0.015, 0.04)
+            img += rng.uniform(0.4, 1.0) * np.exp(-0.5 * (ridge / wdt) ** 2)
+        # diffuse cavity glow around the central star
+        img += 0.3 * np.exp(-(rr**2) / (2 * 0.45**2))
+        # point sources: the illuminating star (map-dependent weight) +
+        # a handful of field stars
+        img += star(0.0, 0.0, 3.0 * (1.0 + 0.5 * m))
+        for _ in range(6):
+            cx, cy = rng.uniform(-0.85, 0.85, 2)
+            img += star(cx, cy, rng.uniform(0.5, 2.0))
+        maps.append(img)
+    maps = np.asarray(maps)
+
+    wavel_axis = np.linspace(4.9, 28.3, n_wavel)
+    tpl = []
+    for m in range(n_maps):
+        # PDR-like spectra: cooler continuum + strong PAH-band-like bumps
+        cont = 30 * (wavel_axis / wavel_axis[0]) ** (1.2 - 0.3 * m)
+        bands = np.zeros_like(wavel_axis)
+        for c, wdt, amp in ((6.2, 0.12, 300), (7.7, 0.25, 500),
+                            (8.6, 0.12, 250), (11.3, 0.15, 400),
+                            (12.7, 0.2, 200)):
+            bands += amp * (0.4 + 0.6 * rng.random()) * np.exp(
+                -0.5 * ((wavel_axis - c) / wdt) ** 2
+            )
+        lines = np.zeros_like(wavel_axis)
+        for _ in range(8):
+            c = rng.uniform(wavel_axis[0], wavel_axis[-1])
+            wdt = rng.uniform(0.01, 0.04)
+            lines += rng.uniform(30, 250) * np.exp(
+                -0.5 * ((wavel_axis - c) / wdt) ** 2
+            )
+        tpl.append(cont + bands + lines)
+    return maps, np.asarray(tpl), STEP_ARCSEC, wavel_axis
+
+
 def get_simulation_data(
     spatial_subsampling: int = 4,
     margin: int = 0,

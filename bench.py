@@ -485,16 +485,94 @@ def _measure(model, setup, preset, stage, jax, jnp, compile_breakdown=None):
         "compile_breakdown": compile_breakdown or None,
         "flops_per_app": flops_per_app,
         "tflops": round(tflops, 3),
+        # MFU vs the bf16 MXU peak: reported for completeness only — the
+        # pipeline is gather/bandwidth-bound (PERF.md roofline), so matmul
+        # peak is not the limiting resource and a low value is expected.
         "mfu_est": round(mfu, 4),
-        "bytes_per_app": bytes_per_app,
-        "hbm_util_est": round(hbm_util, 4) if hbm_util is not None else None,
+        "mfu_note": "gather/bandwidth-bound pipeline; MXU peak is not the "
+                    "limiting resource",
+        "bytes_per_app_modeled": bytes_per_app,
+        "hbm_util_modeled": (round(hbm_util, 4)
+                             if hbm_util is not None else None),
         **({"bytes_note": bytes_note} if bytes_note else {}),
         "cube_shape": list(model.cube_shape),
         "n_channels": len(model.channels),
         "n_pointings": len(model.pointings[0]),
     }
+
+    # Measured device-time grounding (VERDICT r4 item 2): a short profiler
+    # trace of the same executables yields the DEVICE busy time per
+    # application — a physically-true number the modeled bytes cannot
+    # exceed-by-67% the way hbm_util_modeled can.  Flagship/dispatch only
+    # (the loop-mode chain program cannot be traced per-application), and
+    # never on CPU.
+    if (mode == "dispatch" and not os.environ.get("SURFH_BENCH_CPU")
+            and not os.environ.get("SURFH_BENCH_NO_TRACE")):
+        try:
+            stage.set(f"{preset}: device trace (1 app)")
+            meas = _trace_device_ms(
+                jax, lambda: run_chain(maps), chain)
+            if meas:
+                result.update(meas)
+                result["dispatch_ms_per_app"] = round(
+                    max(t_jax * 1e3 - meas["device_ms_per_app"], 0.0), 2)
+                # wall-grounded ceiling: bytes the chip could AT MOST have
+                # moved during the measured device-busy time — a true ≤1.0
+                # utilization bound for the modeled bytes to be read against
+                result["device_busy_frac"] = round(
+                    min(meas["device_ms_per_app"] / (t_jax * 1e3), 1.0), 4)
+        except Exception as e:  # pragma: no cover — diagnostics only
+            _log(f"device trace failed (non-fatal): {e!r}")
     _attach_baseline(result, preset, t_jax)
     return result
+
+
+def _trace_device_ms(jax, run_once, chain):
+    """Profile `run_once` (chain applications) and return measured device
+    stats: total device busy ms per application, and — when the platform
+    exports them — hardware-counter bandwidth stats."""
+    import glob
+    import gzip
+
+    tdir = tempfile.mkdtemp(prefix="surfh_bench_trace_")
+    jax.profiler.start_trace(tdir)
+    run_once()
+    jax.profiler.stop_trace()
+    traces = sorted(glob.glob(
+        os.path.join(tdir, "plugins/profile/*/*.trace.json.gz")))
+    if not traces:
+        return None
+    with gzip.open(traces[-1]) as fh:
+        d = json.load(fh)
+    ev = d.get("traceEvents", [])
+    # the device process exports parallel MODULE and OP lanes that each
+    # carry the full device time — sum the "XLA Ops" lane only
+    tids = {(e["pid"], e["tid"]): e["args"].get("name", "")
+            for e in ev
+            if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    total_us = 0.0
+    bw_bytes = 0.0
+    for e in ev:
+        if (e.get("ph") == "X"
+                and tids.get((e["pid"], e["tid"])) == "XLA Ops"):
+            total_us += float(e.get("dur", 0.0))
+            a = e.get("args") or {}
+            try:
+                bw_bytes += float(a.get("bytes_accessed", 0.0))
+            except (TypeError, ValueError):
+                pass
+    if total_us <= 0:
+        return None
+    out = {"device_ms_per_app": round(total_us / 1e3 / max(chain, 1), 2)}
+    if bw_bytes > 0:
+        # per-op traced bytes (the profiler's hardware-derived accounting;
+        # 20.5 GB/app at the round-5 flagship default vs 68.3 GB from the
+        # static cost model of the unrolled graphs) against the measured
+        # device-busy time — a utilization that can actually be true
+        out["bytes_per_app_traced"] = bw_bytes / max(chain, 1)
+        out["hbm_util_measured"] = round(
+            bw_bytes / (total_us / 1e6) / V5E_HBM_BW, 4)
+    return out
 
 
 def _inner():
@@ -594,6 +672,34 @@ def _inner():
             _log(f"banked {tier} tier: {tres['value']} GVox/s")
         except Exception as e:
             _log(f"{tier} tier failed (continuing to flagship): {e!r}")
+
+    # Opportunistic tier upgrade (VERDICT r4 item 8): while the flagship
+    # host build is still running and the slot can absorb it, bank the
+    # `large` preset — the shipped flagship configuration at mid scale
+    # (18.1 GVox/s round 4) is a far better worst-case record than the
+    # medium tier (2.6) when a bad tunnel phase later eats the flagship
+    # budget.  The per-process slow phase was already absorbed by the
+    # medium tier's first execution, so this is ordinary device work.
+    if tier != "none":
+        left = inner_deadline - time.time()
+        large_min = float(os.environ.get("SURFH_BENCH_LARGE_MIN_S", "300"))
+        if bt.is_alive() and left > large_min:
+            try:
+                stage.set("opportunistic large-tier upgrade")
+                lmodel, lsetup = build_synth("large")
+                lres = _measure(lmodel, lsetup, "large", stage, jax, jnp)
+                lres["final"] = False
+                lres["fallback"] = (
+                    "banked large-tier result; flagship measurement did "
+                    "not complete in budget"
+                )
+                _write_json(rf, lres)
+                _log(f"upgraded banked tier to large: {lres['value']} GVox/s")
+            except Exception as e:
+                _log(f"large-tier upgrade failed (medium tier stands): {e!r}")
+        elif bt.is_alive():
+            _log(f"skipping large-tier upgrade ({left:.0f}s left < "
+                 f"{large_min:.0f}s)")
 
     stage.set("join flagship host build")
     bt.join()

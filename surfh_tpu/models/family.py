@@ -821,3 +821,34 @@ def MCMO_SigRLSCT_NN(
         dtype=dtype,
         gridding="nn",
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-name aliases (migration aid).  The reference instantiates each
+# variant as `<X>_Model.spectro<X>(...)` (test_fw_ad.py:17-1026); these
+# aliases let migrated code keep those constructor names.  The reference
+# reuses the bare name `spectroSigRLSCT` across its single-channel / MO /
+# MCMO modules — the flat namespace here keeps them distinct, with the
+# module-qualified reference name noted per alias.
+spectroT = SpectroT
+spectroC = SpectroC
+spectroCT = SpectroCT
+spectroST = SpectroST
+spectroSnearestT = SpectroSnearestT
+spectroSCT = SpectroSCT
+spectroLT = SpectroLT
+spectroLST = SpectroLST
+spectroMO_ST = SpectroMO_ST
+spectroR = SpectroR
+spectroRL = SpectroRL
+spectroRLT = SpectroRLT
+spectroSigRLT = SpectroSigRLT
+spectroSigRLCT = SpectroSigRLCT
+spectroSigRLSCT_1C = SpectroSigRLSCT1C        # SigRLSCT_Model.spectroSigRLSCT
+spectroSigRLSCT_1C_NN = SpectroSigRLSCT1C_NN  # SigRLSCT_Model.spectroSigRLSCT_NN
+spectroSigRLSCT_MO = MO_SigRLSCT              # MO_SigRLSCT_Model.spectroSigRLSCT
+spectroSigRLSCT_corrected = MO_SigRLSCT_shiftConv  # ….spectroSigRLSCT_corrected
+spectroSigRLSCT_MCMO = MCMO_SigRLSCT          # MCMO_SigRLSCT_Model.spectroSigRLSCT
+spectroSigRLSCT_MCMO_NN = MCMO_SigRLSCT_NN    # ….spectroSigRLSCT_NN
+# spectroSigRLSCT_MCMO IS the production flagship
+# (`surfh_tpu.models.spectro.SpectroSigRLSCT`, imported above).

@@ -403,3 +403,35 @@ def test_shiftConv_matches_gridding_at_origin(fx):
     ya = np.asarray(a.forward(fx["maps"]))
     yb = np.asarray(b.forward(fx["maps"]))
     np.testing.assert_allclose(ya, yb, rtol=1e-8, atol=1e-10)
+
+
+def test_reference_name_aliases():
+    """Migrated reference code can keep its constructor names: every
+    `<X>_Model.spectro<X>` name from the reference dottest suite
+    (test_fw_ad.py) resolves in the flat family namespace."""
+    from surfh_tpu.models import family
+
+    pairs = [
+        ("spectroT", family.SpectroT),
+        ("spectroC", family.SpectroC),
+        ("spectroCT", family.SpectroCT),
+        ("spectroST", family.SpectroST),
+        ("spectroSnearestT", family.SpectroSnearestT),
+        ("spectroSCT", family.SpectroSCT),
+        ("spectroLT", family.SpectroLT),
+        ("spectroLST", family.SpectroLST),
+        ("spectroMO_ST", family.SpectroMO_ST),
+        ("spectroR", family.SpectroR),
+        ("spectroRL", family.SpectroRL),
+        ("spectroRLT", family.SpectroRLT),
+        ("spectroSigRLT", family.SpectroSigRLT),
+        ("spectroSigRLCT", family.SpectroSigRLCT),
+        ("spectroSigRLSCT_1C", family.SpectroSigRLSCT1C),
+        ("spectroSigRLSCT_1C_NN", family.SpectroSigRLSCT1C_NN),
+        ("spectroSigRLSCT_MO", family.MO_SigRLSCT),
+        ("spectroSigRLSCT_corrected", family.MO_SigRLSCT_shiftConv),
+        ("spectroSigRLSCT_MCMO", family.MCMO_SigRLSCT),
+        ("spectroSigRLSCT_MCMO_NN", family.MCMO_SigRLSCT_NN),
+    ]
+    for name, target in pairs:
+        assert getattr(family, name) is target, name

@@ -257,3 +257,45 @@ class ShardedSpectro2D:
     def normal(self, x):
         """HᵗH x over the full 2-D mesh (one big psum of the maps array)."""
         return self._normal_sm(jnp.asarray(x, self.model.dtype).reshape(self.model.ishape))
+
+    def solve(
+        self,
+        y,
+        mu_reg: float,
+        x0=None,
+        mu_spectro: float = 1.0,
+        max_iter: int = 100,
+        tol: float = 1e-12,
+        method: str = "lcg",
+        loop: str = "graph",
+        chain_steps: int = 1,
+        state=None,
+        return_state: bool = False,
+    ):
+        """Regularized least squares over the 2-D mesh:
+        min_x ½µ_s‖y − Hx‖² + ½µ_r‖Dx‖² via CG on the normal equations.
+
+        Each iteration applies the sharded normal (ONE psum of the maps
+        array over the whole chan×λ mesh) plus the replicated prior;
+        b = µ_s·Hᵗy is evaluated once up front through the model's exact
+        adjoint.  `loop`/`chain_steps`/`state`/`return_state` as in
+        :meth:`ShardedSpectro.solve` (dispatch mode = the production
+        flagship-scale configuration)."""
+        from ..solvers import cg as cg_mod
+        from ..solvers.criterion import dtd_separated
+
+        model = self.model
+        b = mu_spectro * jnp.asarray(model.adjoint(y), model.dtype)
+        if x0 is None:
+            x0 = jnp.zeros(model.ishape, model.dtype)
+        x0 = jnp.asarray(x0, model.dtype).reshape(model.ishape)
+
+        def normal_op(x):
+            return mu_spectro * self._normal_sm(x) + mu_reg * dtd_separated(x)
+
+        if method == "lcg":
+            return cg_mod.lcg(normal_op, b, x0, max_iter=max_iter, tol=tol,
+                              loop=loop, chain_steps=chain_steps, state=state,
+                              return_state=return_state)
+        return cg_mod.mmmg(normal_op, b, x0, max_iter=max_iter, tol=tol,
+                           loop=loop)

@@ -15,8 +15,13 @@ Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline",
   bench invocation re-measures a CPU baseline in-process.
 * extras: `flops_per_app` (XLA cost analysis of the compiled programs, with
   an analytic fallback), `tflops` achieved, `mfu_est` vs the v5e bf16 peak
-  (197 TFLOP/s — conservative: the pipeline runs f32), `hbm_util_est` vs the
-  v5e's 819 GB/s, `baseline_s`, `baseline_config`, `t_app_s`, `preset`.
+  (197 TFLOP/s — conservative: the pipeline runs f32; `mfu_note` flags the
+  pipeline as bandwidth-bound), `bytes_per_app_modeled`/`hbm_util_modeled`
+  (static cost model — double-counts shared tables in unrolled graphs,
+  see `bytes_note`), and MEASURED `device_ms_per_app` /
+  `bytes_per_app_traced` / `hbm_util_measured` from a short profiler trace
+  of the timed executables (flagship only; `SURFH_BENCH_NO_TRACE=1`
+  disables), plus `baseline_s`, `baseline_config`, `t_app_s`, `preset`.
 
 Presets:
   small/medium/large — synthetic multi-band problems (compile-light).
@@ -38,7 +43,10 @@ detected by the orchestrator's no-progress watchdog and retried.
 
 Env knobs: SURFH_BENCH_PRESET/_CPU/_SKIP_BASELINE/_REPS/_CHAIN/_MODE,
 SURFH_BENCH_BUDGET_S, SURFH_BENCH_TIER=medium|none, SURFH_BENCH_NO_ORCH=1
-(run the measurement in-process, no budget guarantee), SURFH_WBLUR_IMPL.
+(run the measurement in-process, no budget guarantee),
+SURFH_BENCH_NO_TRACE=1 (skip the diagnostics device trace),
+SURFH_BENCH_LARGE_MIN_S (opportunistic large-tier upgrade threshold),
+SURFH_WBLUR_IMPL.
 """
 
 import json
@@ -336,9 +344,14 @@ def _attach_baseline(result, preset, t_jax):
         )
 
 
-def _measure(model, setup, preset, stage, jax, jnp, compile_breakdown=None):
-    """Compile + time one fwd+adjoint application; returns the result dict
-    (without baseline attachment)."""
+def _measure(model, setup, preset, stage, jax, jnp, compile_breakdown=None,
+             pre_write=None):
+    """Compile + time one fwd+adjoint application; returns the result dict.
+
+    `pre_write(result)` (if given) is called with the COMPLETE timing
+    result before the optional diagnostics-only device trace runs, so a
+    tunnel hang inside the trace can never destroy a finished
+    measurement — the caller banks it first."""
     reps = int(os.environ.get("SURFH_BENCH_REPS", "5"))
     chain = int(os.environ.get("SURFH_BENCH_CHAIN", "10"))
     # dispatch mode for flagship AND large: both graphs are too big for the
@@ -500,13 +513,22 @@ def _measure(model, setup, preset, stage, jax, jnp, compile_breakdown=None):
         "n_pointings": len(model.pointings[0]),
     }
 
+    _attach_baseline(result, preset, t_jax)
+    if pre_write is not None:
+        try:
+            pre_write(result)
+        except Exception as e:  # pragma: no cover — diagnostics only
+            _log(f"pre_write failed (non-fatal): {e!r}")
+
     # Measured device-time grounding (VERDICT r4 item 2): a short profiler
     # trace of the same executables yields the DEVICE busy time per
     # application — a physically-true number the modeled bytes cannot
     # exceed-by-67% the way hbm_util_modeled can.  Flagship/dispatch only
-    # (the loop-mode chain program cannot be traced per-application), and
-    # never on CPU.
-    if (mode == "dispatch" and not os.environ.get("SURFH_BENCH_CPU")
+    # (the loop-mode chain program cannot be traced per-application, and
+    # tier measurements skip it to protect the budget), never on CPU, and
+    # always AFTER pre_write banked the timing result.
+    if (preset == "flagship" and mode == "dispatch"
+            and not os.environ.get("SURFH_BENCH_CPU")
             and not os.environ.get("SURFH_BENCH_NO_TRACE")):
         try:
             stage.set(f"{preset}: device trace (1 app)")
@@ -516,14 +538,10 @@ def _measure(model, setup, preset, stage, jax, jnp, compile_breakdown=None):
                 result.update(meas)
                 result["dispatch_ms_per_app"] = round(
                     max(t_jax * 1e3 - meas["device_ms_per_app"], 0.0), 2)
-                # wall-grounded ceiling: bytes the chip could AT MOST have
-                # moved during the measured device-busy time — a true ≤1.0
-                # utilization bound for the modeled bytes to be read against
                 result["device_busy_frac"] = round(
                     min(meas["device_ms_per_app"] / (t_jax * 1e3), 1.0), 4)
         except Exception as e:  # pragma: no cover — diagnostics only
             _log(f"device trace failed (non-fatal): {e!r}")
-    _attach_baseline(result, preset, t_jax)
     return result
 
 
@@ -536,8 +554,12 @@ def _trace_device_ms(jax, run_once, chain):
 
     tdir = tempfile.mkdtemp(prefix="surfh_bench_trace_")
     jax.profiler.start_trace(tdir)
-    run_once()
-    jax.profiler.stop_trace()
+    try:
+        run_once()
+    finally:
+        # an exception mid-run must not leave the profiler session open —
+        # the next start_trace would raise "already started"
+        jax.profiler.stop_trace()
     traces = sorted(glob.glob(
         os.path.join(tdir, "plugins/profile/*/*.trace.json.gz")))
     if not traces:
@@ -680,7 +702,12 @@ def _inner():
     # medium tier (2.6) when a bad tunnel phase later eats the flagship
     # budget.  The per-process slow phase was already absorbed by the
     # medium tier's first execution, so this is ordinary device work.
-    if tier != "none":
+    # Only under the orchestrator (a real inner deadline exists): in
+    # NO_ORCH mode the deadline defaults to +1e9 s and the guard would be
+    # vacuous — an in-process bench must not grow a surprise large-tier
+    # measurement.  tier=="large" would measure the same preset twice.
+    if (tier not in ("none", "large")
+            and os.environ.get("SURFH_BENCH_INNER_DEADLINE")):
         left = inner_deadline - time.time()
         large_min = float(os.environ.get("SURFH_BENCH_LARGE_MIN_S", "300"))
         if bt.is_alive() and left > large_min:
@@ -715,8 +742,20 @@ def _inner():
         return
 
     cb = {"host_build_s": box.get("host_build_s")}
+
+    def bank_final(r):
+        """Bank the finished flagship timing BEFORE the diagnostics trace:
+        a tunnel hang inside the trace then costs only the trace fields,
+        not the measurement (the stall watchdog would otherwise kill the
+        inner process with the result unwritten)."""
+        rr = dict(r)
+        if prime is not None and "prime_s" in prime:
+            rr.setdefault("compile_breakdown", {})["prime_s"] = prime["prime_s"]
+        rr["final"] = True
+        _write_json(rf, rr)
+
     res = _measure(model, setup, "flagship", stage, jax, jnp,
-                   compile_breakdown=cb)
+                   compile_breakdown=cb, pre_write=bank_final)
     if prime is not None and "prime_s" in prime:
         # how long the absorbed per-process phase took (overlapped; the
         # first execution was its completion barrier)

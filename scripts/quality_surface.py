@@ -71,39 +71,26 @@ def main():
     tables = model.device_tables()
     mark(f"model ready: {len(model.channels)} channels, cube {model.cube_shape}")
 
-    # one jitted CG step with (mu, tables) as arguments — the whole
-    # (scene × noise × µ) sweep reuses a single compiled program
+    # the PRODUCTION dispatch-mode CG (solvers.cg.lcg): (µ, tables) ride
+    # as traced op_args of one normal_op closure, so the whole
+    # (scene × noise × µ) sweep reuses a single compiled step program
+    from surfh_tpu.solvers import cg as cg_mod
+
     fused_normal = model._normal_fn_tabled
 
-    @jax.jit
-    def normal(x, mu, tables):
+    def normal_op(x, mu, tables):
         return fused_normal(x, tables) + mu * dtd_separated(x)
-
-    @jax.jit
-    def cg_init(x0, b, mu, tables):
-        r = b - normal(x0, mu, tables)
-        rz = jnp.vdot(r, r, precision="highest").real
-        return x0, r, r, rz
-
-    @jax.jit
-    def cg_step(x, r, p, rz, mu, tables):
-        qp = normal(p, mu, tables)
-        alpha = rz / jnp.vdot(p, qp, precision="highest").real
-        x = x + alpha * p
-        r = r - alpha * qp
-        rz_new = jnp.vdot(r, r, precision="highest").real
-        p = r + (rz_new / rz) * p
-        return x, r, p, rz_new
 
     fwd = jax.jit(model._forward_fn_tabled)
     adj = jax.jit(model._adjoint_fn_tabled)
 
     def solve(b, mu, niter):
-        x, r, p, rz = cg_init(jnp.zeros(model.ishape, jnp.float32), b,
-                              jnp.float32(mu), tables)
-        for _ in range(niter):
-            x, r, p, rz = cg_step(x, r, p, rz, jnp.float32(mu), tables)
-        return np.asarray(x), float(jnp.sqrt(rz))
+        res = cg_mod.lcg(
+            normal_op, b, jnp.zeros(model.ishape, jnp.float32),
+            max_iter=niter, tol=0.0, op_args=(jnp.float32(mu), tables),
+            loop="dispatch",
+        )
+        return np.asarray(res.x), float(res.grad_norm[-1])
 
     # coverage mask: spatial pixels with real sensitivity
     ones = jnp.ones(model.oshape, jnp.float32)

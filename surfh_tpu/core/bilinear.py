@@ -665,13 +665,15 @@ def banded_cat_from_stack(linv_s, idx_s, wb_s, osrc_s, ow_s, odst_s,
     * window gather rows: pointing p reads vt rows [p·n_out, (p+1)·n_out)
       of the concatenated [P·n_out, W] value matrix;
     * accumulator rows: pointing p owns [p·nbt, (p+1)·nbt); ONE zero row
-      is appended at P·nbt.  Tail-scatter padding entries (odst == nbt,
-      weight 0) land on the next pointing's row 0 — a harmless +0 that
-      keeps the concatenated scatter indices ascending.  Unperm (`linv`)
-      padding MUST read zeros, so those entries remap to the true zero
-      row at P·nbt.
+      is appended at P·nbt.  BOTH tail-scatter padding entries
+      (odst == nbt, weight 0) and unperm (`linv`) padding remap to that
+      global zero row — the tail padding could harmlessly +0 onto the
+      next pointing's row 0, but a non-finite value in the data would
+      then poison a REAL row (0 × NaN = NaN), so padding stays on the
+      discarded row at the cost of a non-ascending scatter order.
     """
     linv_s = np.asarray(linv_s)
+    odst_s = np.asarray(odst_s, np.int64)
     P, n_patch = linv_s.shape
     nb, tb = wb_s.shape[1], wb_s.shape[2]
     nbt = nb * tb
@@ -681,12 +683,12 @@ def banded_cat_from_stack(linv_s, idx_s, wb_s, osrc_s, ow_s, odst_s,
     osrc_cat = (np.asarray(osrc_s, np.int64)
                 + offs_out[:, None]).astype(np.int32)
     offs_acc = np.arange(P, dtype=np.int64) * nbt
-    odst_cat = (np.asarray(odst_s, np.int64)
-                + offs_acc[:, None]).astype(np.int32)
+    odst_cat = odst_s + offs_acc[:, None]
+    odst_cat[odst_s == nbt] = P * nbt
     linv_cat = np.asarray(linv_s, np.int64) + offs_acc[:, None]
     linv_cat[linv_s == nbt] = P * nbt
     return (linv_cat.astype(np.int32), idx_cat, np.asarray(wb_s),
-            osrc_cat, np.asarray(ow_s), odst_cat)
+            osrc_cat, np.asarray(ow_s), odst_cat.astype(np.int32))
 
 
 def apply_composed_plan_banded_cat_t(linv_cat, idx_cat, wb_s, osrc_cat,
@@ -708,8 +710,10 @@ def apply_composed_plan_banded_cat_t(linv_cat, idx_cat, wb_s, osrc_cat,
     accz = jnp.concatenate(
         [acc, jnp.zeros((1, w_dim), values_s.dtype)], axis=0)
     contrib = take_ib(vt, osrc_cat.reshape(-1), 0) * ow_s.reshape(-1)[:, None]
+    # not ascending: padding entries jump to the global zero row (see
+    # banded_cat_from_stack — correctness over the sorted-scatter fast path)
     accz = accz.at[odst_cat.reshape(-1)].add(
-        contrib, indices_are_sorted=True, unique_indices=False
+        contrib, indices_are_sorted=False, unique_indices=False
     )
     out = take_ib(accz, linv_cat, 0)  # [P, n_patch, W] — one take
     return out.sum(axis=0).T

@@ -687,21 +687,38 @@ class ShardedSpectro:
         loop, one jitted normal application per dispatch — the in-graph
         while-loop carry would hold a private copy of every table);
         `state`/`return_state` resume exactly, as in :func:`solvers.cg.lcg`.
+
+        µ_spectro/µ_reg ride as TRACED op_args of one memoized normal_op
+        closure, so repeated solves (µ sweeps, resumes) reuse the compiled
+        CG step instead of re-tracing per call (the solver cache is keyed
+        by the closure's identity).
         """
         model = self.model
         y_packed = y if packed else self.pack(y)
-        b = mu_spectro * self._adjoint_sm(y_packed, *self._sm_args())
+        dt = model.dtype
+        mu_s = jnp.asarray(mu_spectro, dt)
+        mu_r = jnp.asarray(mu_reg, dt)
+        b = mu_s * self._adjoint_sm(y_packed, *self._sm_args())
         if x0 is None:
             x0 = jnp.zeros(model.ishape, model.dtype)
         x0 = jax.device_put(jnp.asarray(x0, model.dtype).reshape(model.ishape), self.x_sharding)
 
-        def normal_op(x, *sm_args):
-            return mu_spectro * self._normal_sm(x, *sm_args) + mu_reg * dtd_separated(x)
+        if getattr(self, "_solve_normal_op", None) is None:
+            def normal_op(x, mu_s, mu_r, *sm_args):
+                return mu_s * self._normal_sm(x, *sm_args) + mu_r * dtd_separated(x)
+
+            self._solve_normal_op = normal_op
+        op_args = (mu_s, mu_r) + self._sm_args()
 
         if method == "lcg":
-            return cg_mod.lcg(normal_op, b, x0, max_iter=max_iter, tol=tol,
-                              op_args=self._sm_args(), loop=loop,
+            return cg_mod.lcg(self._solve_normal_op, b, x0, max_iter=max_iter,
+                              tol=tol, op_args=op_args, loop=loop,
                               chain_steps=chain_steps, state=state,
                               return_state=return_state)
-        return cg_mod.mmmg(normal_op, b, x0, max_iter=max_iter, tol=tol,
-                           op_args=self._sm_args(), loop=loop)
+        if state is not None or return_state or chain_steps != 1:
+            raise ValueError(
+                "state/return_state/chain_steps are lcg-only; mmmg would "
+                "silently cold-restart from x0"
+            )
+        return cg_mod.mmmg(self._solve_normal_op, b, x0, max_iter=max_iter,
+                           tol=tol, op_args=op_args, loop=loop)

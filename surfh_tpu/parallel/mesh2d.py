@@ -285,17 +285,32 @@ class ShardedSpectro2D:
         from ..solvers.criterion import dtd_separated
 
         model = self.model
-        b = mu_spectro * jnp.asarray(model.adjoint(y), model.dtype)
+        dt = model.dtype
+        mu_s = jnp.asarray(mu_spectro, dt)
+        mu_r = jnp.asarray(mu_reg, dt)
+        b = mu_s * jnp.asarray(model.adjoint(y), dt)
         if x0 is None:
-            x0 = jnp.zeros(model.ishape, model.dtype)
-        x0 = jnp.asarray(x0, model.dtype).reshape(model.ishape)
+            x0 = jnp.zeros(model.ishape, dt)
+        x0 = jnp.asarray(x0, dt).reshape(model.ishape)
 
-        def normal_op(x):
-            return mu_spectro * self._normal_sm(x) + mu_reg * dtd_separated(x)
+        # µ's ride as traced op_args of ONE memoized closure so repeated
+        # solves (µ sweeps, resumes) reuse the compiled CG step (the
+        # solver cache keys on the closure's identity).
+        if getattr(self, "_solve_normal_op", None) is None:
+            def normal_op(x, mu_s, mu_r):
+                return mu_s * self._normal_sm(x) + mu_r * dtd_separated(x)
+
+            self._solve_normal_op = normal_op
 
         if method == "lcg":
-            return cg_mod.lcg(normal_op, b, x0, max_iter=max_iter, tol=tol,
-                              loop=loop, chain_steps=chain_steps, state=state,
+            return cg_mod.lcg(self._solve_normal_op, b, x0, max_iter=max_iter,
+                              tol=tol, op_args=(mu_s, mu_r), loop=loop,
+                              chain_steps=chain_steps, state=state,
                               return_state=return_state)
-        return cg_mod.mmmg(normal_op, b, x0, max_iter=max_iter, tol=tol,
-                           loop=loop)
+        if state is not None or return_state or chain_steps != 1:
+            raise ValueError(
+                "state/return_state/chain_steps are lcg-only; mmmg would "
+                "silently cold-restart from x0"
+            )
+        return cg_mod.mmmg(self._solve_normal_op, b, x0, max_iter=max_iter,
+                           tol=tol, op_args=(mu_s, mu_r), loop=loop)

@@ -67,27 +67,6 @@ def parse_raw_name(filename: str) -> Tuple[str, str, str, str]:
     return parts[0], parts[1], parts[2], parts[3]
 
 
-def _parse_card_value(rest: str):
-    """FITS card value from the text after 'KEY     = ' (quoted string,
-    logical, or number; inline /comment stripped outside quotes)."""
-    rest = rest.strip()
-    if rest.startswith("'"):
-        end = rest.find("'", 1)
-        while end != -1 and rest[end : end + 2] == "''":  # escaped quote
-            end = rest.find("'", end + 2)
-        return rest[1:end].replace("''", "'").rstrip()
-    val = rest.split("/")[0].strip()
-    if val in ("T", "F"):
-        return val == "T"
-    try:
-        return int(val)
-    except ValueError:
-        try:
-            return float(val)
-        except ValueError:
-            return val
-
-
 def header_geometry(path: str, chan: Optional[int] = None) -> Dict:
     """Pointing geometry of a real stage-2 MRS product: TARG_RA / TARG_DEC
     / PA_V3 and the band name, from either a FITS file or a header card
@@ -97,16 +76,21 @@ def header_geometry(path: str, chan: Optional[int] = None) -> Dict:
     models (realmiri.get_IFU, realmiri.py:42-141; correction driver,
     scripts/correction_mrs_data.py:122-131).  CHANNEL on a MIRIFU detector
     names TWO channels (e.g. '12'); pass ``chan`` to pick one, else the
-    first digit is used.  BAND SHORT/MEDIUM/LONG maps to sub-band a/b/c.
+    first digit is used.  BAND SHORT/MEDIUM/LONG maps to sub-band a/b/c;
+    a missing or unrecognized BAND leaves ``band`` as None rather than
+    silently guessing a wavelength table.
     """
+    from .fits_io import _parse_card
+
     cards: Dict = {}
     with open(path, "rb") as fh:
         head = fh.read(2880)
-    if b"\n" in head:  # header card dump
+    if b"\n" in head:  # header card dump — one FITS card per line
         for line in open(path, encoding="ascii", errors="replace"):
-            line = line.rstrip("\n")
-            if len(line) > 10 and line[8] == "=" and line[:8].strip():
-                cards.setdefault(line[:8].strip(), _parse_card_value(line[9:]))
+            card = line.rstrip("\n").ljust(80)[:80]
+            key, value, _ = _parse_card(card.encode("ascii", "replace"))
+            if key and value is not None:
+                cards.setdefault(key, value)
     else:
         for hdu in fits_open(path):
             for k, v in hdu.header.items():
@@ -118,14 +102,14 @@ def header_geometry(path: str, chan: Optional[int] = None) -> Dict:
     chan_str = str(cards.get("CHANNEL", "")).strip()
     if chan is None and chan_str:
         chan = int(chan_str[0])
-    sub = {"SHORT": "a", "MEDIUM": "b"}.get(
-        str(cards.get("BAND", "")).strip().upper(), "c"
+    sub = {"SHORT": "a", "MEDIUM": "b", "LONG": "c"}.get(
+        str(cards.get("BAND", "")).strip().upper()
     )
     return {
         "targ_ra": float(cards["TARG_RA"]),
         "targ_dec": float(cards["TARG_DEC"]),
         "pa_v3": float(cards.get("PA_V3", 0.0)),
-        "band": f"{chan}{sub}" if chan is not None else None,
+        "band": f"{chan}{sub}" if (chan is not None and sub) else None,
     }
 
 

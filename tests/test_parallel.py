@@ -369,8 +369,21 @@ def test_sharded_window_local_dispatch_solve():
     r8 = sh8.solve(y, mu_reg=1e4, max_iter=250, tol=1e-5, loop="dispatch")
     r1 = sh1.solve(y, mu_reg=1e4, max_iter=250, tol=1e-5, loop="dispatch")
     assert r8.converged and r1.converged
+    # The well-posed cross-mesh statement in f32: the 8-device SOLUTION
+    # satisfies the 1-device normal equations to the same tolerance class
+    # (element-wise iterate agreement is κ-amplified f32 rounding —
+    # observed anywhere from 2e-3 to 5e-2 across compilations — so it is
+    # only sanity-bounded here; the machine-precision version of this
+    # test is the f64 test_sharded_dispatch_cg_matches_single_device).
+    from surfh_tpu.solvers.criterion import dtd_separated
+
+    b1 = np.asarray(sh1.adjoint(sh1.pack(y)))
+    qx8 = np.asarray(sh1.normal(jnp.asarray(r8.x))) + 1e4 * np.asarray(
+        dtd_separated(jnp.asarray(r8.x)))
+    gnorm_cross = np.linalg.norm((b1 - qx8).ravel())
+    assert gnorm_cross <= 3 * 1e-5 * np.linalg.norm(b1.ravel())
     scale = np.abs(r1.x).max()
-    np.testing.assert_allclose(r8.x, r1.x, rtol=0, atol=1e-2 * scale)
+    np.testing.assert_allclose(r8.x, r1.x, rtol=0, atol=0.1 * scale)
 
     r7 = sh8.solve(y, mu_reg=1e4, max_iter=7, tol=0.0, loop="dispatch",
                    return_state=True)

@@ -143,20 +143,42 @@ class QuadCriterion_MRS:
             and getattr(model_spectro, "window_local", False)
         )
 
-        def normal_op(x, *op_args):
-            if fwadj is not None:
-                hthx = fwadj(x)
-            elif use_fused:
-                hthx = fused_normal(x, *op_args)
-            else:
-                hthx = self._adj(fwd(x, *op_args), *op_args)[0]
-            if gradient == "separated":
-                reg = dtd_separated(x)
-            else:
-                reg = self._joint.DtD(x)
-            return mu_s * hthx + mu_r * reg
+        # ONE normal_op per (model, gradient mode, Hessian path): the µ's
+        # ride as TRACED arguments, so every criterion instance built on
+        # the same model (µ sweeps, warm restarts) reuses the solver's
+        # compiled step program — the solver cache keys on the closure's
+        # identity, and a fresh closure per criterion would re-trace the
+        # (at flagship scale, large) normal program on every solve.
+        cache = getattr(model_spectro, "_criterion_fn_cache", None)
+        if cache is None:
+            cache = {}
+            try:
+                model_spectro._criterion_fn_cache = cache
+            except AttributeError:
+                pass  # slotted/frozen model: fall back to per-instance
+        key = (gradient, fwadj is not None, use_fused)
+        if key in cache:
+            self.normal_op = cache[key]
+        else:
+            adj = self._adj
+            joint = self._joint if gradient == "joint" else None
 
-        self.normal_op = normal_op
+            def normal_op(x, mu_s, mu_r, *op_args):
+                if fwadj is not None:
+                    hthx = fwadj(x)
+                elif use_fused:
+                    hthx = fused_normal(x, *op_args)
+                else:
+                    hthx = adj(fwd(x, *op_args), *op_args)[0]
+                reg = dtd_separated(x) if joint is None else joint.DtD(x)
+                return mu_s * hthx + mu_r * reg
+
+            cache[key] = normal_op
+            self.normal_op = normal_op
+        self._mu_args = (
+            jnp.asarray(self.mu_spectro, self.dtype),
+            jnp.asarray(float(self.mu_reg), self.dtype),
+        )
         self._b = None
         self.L_crit_val: list = []
 
@@ -187,17 +209,18 @@ class QuadCriterion_MRS:
         import time
 
         t0 = time.perf_counter()
+        op_args = self._mu_args + self._op_args
         if method == "lcg":
             res = lcg(
                 self.normal_op, self.b, init, max_iter=maximum_iterations,
                 tol=tolerance, state=solver_state, return_state=return_state,
-                op_args=self._op_args, loop=solver_loop,
+                op_args=op_args, loop=solver_loop,
                 chain_steps=solver_chain,
             )
         else:
             res = mmmg(
                 self.normal_op, self.b, init, max_iter=maximum_iterations,
-                tol=tolerance, op_args=self._op_args, loop=solver_loop,
+                tol=tolerance, op_args=op_args, loop=solver_loop,
             )
         if self.printing:
             print(f"Total time needed for {method}: {time.perf_counter() - t0:.3f}s")
@@ -239,21 +262,36 @@ class QuadCriterion_MRS_2D(QuadCriterion_MRS):
         super().__init__(mu_spectro, y_spectro, model_spectro, mu_reg, printing, "separated")
         if gradient != "separated":
             raise NotImplementedError("2-D criterion supports the separated prior")
-        mu_s, mu_r = self.mu_spectro, self.mu_reg
         fwd = self._fwd
+        adj = self._adj
 
-        def normal_op(x):
-            hthx = self._adj(fwd(x))[0]
-            reg = (
-                4 * x
-                - jnp.roll(x, 1, axis=0)
-                - jnp.roll(x, -1, axis=0)
-                - jnp.roll(x, 1, axis=1)
-                - jnp.roll(x, -1, axis=1)
-            )
-            return mu_s * hthx + mu_r * reg
+        # same µ-as-op-args / model-memoized pattern as the parent (the
+        # difference operators act on axes 0/1 of the 2-D image)
+        cache = getattr(model_spectro, "_criterion_fn_cache", None)
+        if cache is None:
+            cache = {}
+            try:
+                model_spectro._criterion_fn_cache = cache
+            except AttributeError:
+                pass
+        key = ("separated-2d", False, False)
+        if key in cache:
+            self.normal_op = cache[key]
+        else:
 
-        self.normal_op = normal_op
+            def normal_op(x, mu_s, mu_r, *op_args):
+                hthx = adj(fwd(x))[0]
+                reg = (
+                    4 * x
+                    - jnp.roll(x, 1, axis=0)
+                    - jnp.roll(x, -1, axis=0)
+                    - jnp.roll(x, 1, axis=1)
+                    - jnp.roll(x, -1, axis=1)
+                )
+                return mu_s * hthx + mu_r * reg
+
+            cache[key] = normal_op
+            self.normal_op = normal_op
 
     def get_crit_val(self, x_hat) -> float:
         x_hat = jnp.asarray(x_hat, self.dtype).reshape(self.shape_of_output)
